@@ -1,0 +1,123 @@
+"""Flattened two-level scene structure — the TLAS/BLAS replacement.
+
+The reference builds driver-internal DXR acceleration structures over
+2 BLASes (1 triangle plane + 10 procedural AABB geometries) and a 2-instance
+TLAS (Renderer.cpp:478-835). At 11 geometries, hardware BVH traversal is
+replaced by a branchless slab test of every ray against every instance AABB
+(trivially vectorizable on the VPU); the API below is the seam where a real
+LBVH slots in for bigger scenes without a rewrite (SURVEY.md §2.5).
+
+Spaces (matching the reference exactly):
+  world --(TLAS instance transform)--> BLAS space --(per-frame
+  PrimitiveInstancePerFrameBuffer matrix)--> unit-AABB local space.
+The AABB instance transform is a pure +Y translation (Renderer.cpp:778-781),
+so the ray parameter t is shared between world and BLAS space; the per-frame
+local transforms carry scale/rotation and are applied inside the
+intersector dispatch, exactly like GetRayInAABBPrimitiveLocalSpace
+(Raytracing.hlsl:277-287).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpuraytracer_tpu.core.types import (
+    InstanceTransforms,
+    IntersectorKind,
+    MaterialTable,
+    SceneConstants,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneLayout:
+    """Static (hashable, non-traced) scene structure: which intersection
+    kernel each procedural geometry dispatches to. This is the
+    shader-binding-table analog (SURVEY.md §2.6) — a compile-time registry
+    rather than runtime indirection, so XLA sees a fully static program."""
+
+    kinds: Tuple[IntersectorKind, ...]  # per procedural instance
+    prim_types: Tuple[int, ...]  # enum value within its kind
+    has_plane: bool = True
+
+    @property
+    def num_procedural(self) -> int:
+        return len(self.kinds)
+
+    @property
+    def plane_geometry_id(self) -> int:
+        return len(self.kinds)
+
+    @property
+    def num_geometries(self) -> int:
+        return len(self.kinds) + (1 if self.has_plane else 0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SceneArrays:
+    """Traced per-frame scene state (the constant-buffer contents)."""
+
+    constants: SceneConstants
+    materials: MaterialTable  # (G, ...) rows; plane material is the LAST row
+    transforms: InstanceTransforms  # (P, 4, 4) pairs, rebuilt per frame
+    aabb_min: Any  # (P, 3) BLAS-space geometry AABBs
+    aabb_max: Any  # (P, 3)
+    blas_offset: Any  # (3,) BLAS -> world translation for procedural geometry
+    plane_origin: Any  # (3,) world-space corner of the ground quad
+    plane_size: Any  # (2,) world-space x/z extents of the quad
+
+    def tree_flatten(self):
+        children = (
+            self.constants,
+            self.materials,
+            self.transforms,
+            self.aabb_min,
+            self.aabb_max,
+            self.blas_offset,
+            self.plane_origin,
+            self.plane_size,
+        )
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """layout (static) + arrays (traced). Pass `layout` via closure /
+    static argnum and `arrays` as a jit argument."""
+
+    layout: SceneLayout
+    arrays: SceneArrays
+
+
+def ray_to_blas(origins_world, directions_world, blas_offset):
+    """World -> AABB-BLAS space: subtract the instance translation
+    (Renderer.cpp:778-781). Directions unchanged; t unchanged."""
+    return origins_world - blas_offset, directions_world
+
+
+def ray_to_local(origins_blas, directions_blas, blas_to_local):
+    """BLAS -> unit-AABB local space via the per-frame inverse matrix
+    (Raytracing.hlsl:277-287). blas_to_local is column-convention (4,4).
+    The ray parameter t is preserved: p_local(t) = M @ p_blas(t)."""
+    rot = blas_to_local[:3, :3]
+    o = origins_blas @ rot.T + blas_to_local[:3, 3]
+    d = directions_blas @ rot.T
+    return o, d
+
+
+def normal_to_world(normal_local, local_to_blas):
+    """Local -> BLAS -> world normal, exactly as the intersection shaders do
+    it (Raytracing.hlsl:298-301): straight matrix transform (NOT inverse
+    transpose — reproduced as-is), identity for BLAS->world, then normalize."""
+    rot = local_to_blas[:3, :3]
+    n = normal_local @ rot.T
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)

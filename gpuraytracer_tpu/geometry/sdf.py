@@ -1,0 +1,336 @@
+"""Signed-distance-field library + sphere-trace intersector.
+
+Reproduces the reference's SDF layer (iq's distfunctions):
+  CSG ops / repetition / twist   SignedDistancePrimitives.hlsli:55-114
+  primitive distance functions   SignedDistancePrimitives.hlsli:119-273
+  tetrahedral-offset normal      SignedDistancePrimitives.hlsli:275-283
+  sphere tracing (512 steps,
+  relative 1e-4*t threshold)     SignedDistancePrimitives.hlsli:287-319
+  the seven composed objects     ProceduralPrimitivesLibrary.hlsli:63-98
+
+All distance functions take positions shaped (..., 3) and return (...,)
+distances; they are pure and vmappable. The sphere tracer is a masked
+fixed-trip lax.fori_loop over a whole ray wavefront — the TPU-native form
+of the per-thread while loop (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gpuraytracer_tpu.core import hlsl
+from gpuraytracer_tpu.core.types import (
+    FRACTAL_ITERATIONS_COUNT,
+    SDF_HIT_THRESHOLD,
+    SDF_MAX_STEPS,
+    SignedDistancePrimitive,
+)
+
+# ---------------------------------------------------------------------------
+# CSG operators (hlsli:55-114)
+# ---------------------------------------------------------------------------
+
+def op_subtract(d1, d2):
+    """opS: Obj1 - Obj2 = max(d1, -d2)."""
+    return jnp.maximum(d1, -d2)
+
+
+def op_union(d1, d2):
+    return jnp.minimum(d1, d2)
+
+
+def op_intersect(d1, d2):
+    return jnp.maximum(d1, d2)
+
+
+def op_rep(p, c):
+    """Domain repetition: fmod(p, c) - 0.5*c. HLSL fmod semantics (sign
+    follows dividend) are load-bearing here — jnp.mod would shift geometry."""
+    c = jnp.asarray(c, dtype=p.dtype)
+    return hlsl.fmod(p, c) - 0.5 * c
+
+
+def op_twist(p):
+    """Rotate xz by angle 3*y (hlsli:108-114)."""
+    c = jnp.cos(3.0 * p[..., 1])
+    s = jnp.sin(3.0 * p[..., 1])
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    # HLSL: mul(float2x2(c, -s, s, c), p.xz) = (c*x - s*z, s*x + c*z)
+    return hlsl.vec3(c * x - s * z, s * x + c * z, y)
+
+
+def smin(a, b, k):
+    h = jnp.clip(0.5 + 0.5 * (b - a) / k, 0.0, 1.0)
+    return hlsl.lerp(b, a, h) - k * h * (1.0 - h)
+
+
+def smax(a, b, k):
+    h = jnp.clip(0.5 + 0.5 * (b - a) / k, 0.0, 1.0)
+    return hlsl.lerp(a, b, h) + k * h * (1.0 - h)
+
+
+# ---------------------------------------------------------------------------
+# Primitive distance functions (hlsli:119-273)
+# ---------------------------------------------------------------------------
+
+def sd_plane(p):
+    return p[..., 1]
+
+
+def sd_sphere(p, s):
+    return hlsl.length(p) - s
+
+
+def sd_box(p, b):
+    b = jnp.asarray(b, dtype=p.dtype)
+    d = jnp.abs(p) - b
+    return jnp.minimum(jnp.max(d, axis=-1), 0.0) + hlsl.length(jnp.maximum(d, 0.0))
+
+
+def ud_round_box(p, b, r):
+    b = jnp.asarray(b, dtype=p.dtype)
+    return hlsl.length(jnp.maximum(jnp.abs(p) - b, 0.0)) - r
+
+
+def sd_torus(p, t):
+    """t = (radius, tube radius)."""
+    q_x = hlsl.length(p[..., [0, 2]]) - t[0]
+    q = jnp.stack([q_x, p[..., 1]], axis=-1)
+    return hlsl.length(q) - t[1]
+
+
+def sd_cylinder(p, h):
+    """h = (radius, half height)."""
+    d_x = jnp.abs(hlsl.length(p[..., [0, 2]])) - h[0]
+    d_y = jnp.abs(p[..., 1]) - h[1]
+    d = jnp.stack([d_x, d_y], axis=-1)
+    return jnp.minimum(jnp.maximum(d_x, d_y), 0.0) + hlsl.length(jnp.maximum(d, 0.0))
+
+
+def length_to_pow_negative8(p2):
+    """(x^8 + y^8)^(1/8) over a trailing-axis-2 vector (hlsli:252-256)."""
+    q = p2 * p2
+    q = q * q
+    q = q * q
+    return jnp.power(q[..., 0] + q[..., 1], 1.0 / 8.0)
+
+
+def sd_torus82(p, t):
+    """Square-profile torus: L2 ring distance, L8 tube norm (hlsli:258-262)."""
+    q_x = hlsl.length(p[..., [0, 2]]) - t[0]
+    q = jnp.stack([q_x, p[..., 1]], axis=-1)
+    return length_to_pow_negative8(q) - t[1]
+
+
+def sd_octahedron(p, h):
+    """h = (sin a, cos a, height) (hlsli:220-231)."""
+    d = (
+        jnp.maximum(jnp.abs(p[..., 0]), jnp.abs(p[..., 2])) * h[0]
+        + jnp.abs(p[..., 1]) * h[1]
+    )
+    return d - h[1] * h[2]
+
+
+def sd_pyramid(p, h):
+    """Pyramid sitting on the ground plane: octahedron minus bottom half
+    (hlsli:236-242)."""
+    return op_subtract(sd_octahedron(p, h), p[..., 1])
+
+
+def sd_fractal_pyramid(p, h, scale=2.0, iterations=FRACTAL_ITERATIONS_COUNT):
+    """Sierpinski-style recursive pyramid (SignedDistanceFractals.hlsli:34-63).
+
+    `iterations` folds of closest-of-5-vertices space folding
+    p <- scale*p - v*(scale-1), then sdPyramid rescaled by scale^-n.
+    """
+    a = h[2] * h[1] / h[0]
+    vertices = jnp.asarray(
+        [
+            [0.0, h[2], 0.0],
+            [-a, 0.0, a],
+            [a, 0.0, -a],
+            [a, 0.0, a],
+            [-a, 0.0, -a],
+        ],
+        dtype=p.dtype,
+    )  # (5, 3)
+
+    for _ in range(iterations):
+        # Closest vertex by squared distance; ties keep the earlier vertex
+        # (strict < update in the reference).
+        d2 = hlsl.length_sq(p[..., None, :] - vertices)  # (..., 5)
+        idx = jnp.argmin(d2, axis=-1)  # argmin returns first minimum == strict-< loop
+        v = vertices[idx]
+        p = scale * p - v * (scale - 1.0)
+
+    return sd_pyramid(p, h) * (scale ** (-float(iterations)))
+
+
+# ---------------------------------------------------------------------------
+# The seven composed scene objects (ProceduralPrimitivesLibrary.hlsli:63-98)
+# ---------------------------------------------------------------------------
+
+def distance_mini_spheres(p):
+    """Repeated sphere lattice intersected with the unit box."""
+    return op_intersect(
+        sd_sphere(op_rep(p + 1.0, (2.0 / 4.0, 2.0 / 4.0, 2.0 / 4.0)), 0.65 / 4.0),
+        sd_box(p, (1.0, 1.0, 1.0)),
+    )
+
+
+def distance_intersected_round_cube(p):
+    return op_subtract(
+        op_subtract(ud_round_box(p, (0.75, 0.75, 0.75), 0.2), sd_sphere(p, 1.20)),
+        -sd_sphere(p, 1.32),
+    )
+
+
+def distance_square_torus(p):
+    return sd_torus82(p, (0.75, 0.15))
+
+
+def distance_twisted_torus(p):
+    return sd_torus(op_twist(p), (0.6, 0.2))
+
+
+def distance_cog(p):
+    """Torus82 ring minus angularly repeated cylinders (teeth); the repetition
+    runs in polar coordinates (atan2-based) — hlsli:79-85."""
+    polar = hlsl.vec3(
+        jnp.arctan2(p[..., 2], p[..., 0]) / 6.2831,
+        jnp.ones_like(p[..., 0]),
+        0.015 + 0.25 * hlsl.length(p),
+    )
+    teeth = sd_cylinder(op_rep(polar + 1.0, (0.05, 1.0, 0.075)), (0.02, 0.8))
+    return op_subtract(sd_torus82(p, (0.60, 0.3)), teeth)
+
+
+def distance_cylinder(p):
+    return op_intersect(
+        sd_cylinder(op_rep(p + 1.0, (1.0, 2.0, 1.0)), (0.3, 2.0)),
+        sd_box(p + 1.0, (2.0, 2.0, 2.0)),
+    )
+
+
+def distance_fractal_pyramid(p):
+    """Base at y == -1 of the unit AABB; 63.435deg base angle, height 2."""
+    return sd_fractal_pyramid(
+        p + jnp.asarray([0.0, 1.0, 0.0], dtype=p.dtype), (0.894, 0.447, 2.0), 2.0
+    )
+
+
+# Static dispatch table: SignedDistancePrimitive enum -> distance function.
+# (The lax.switch-free analog of GetDistanceFromSignedDistancePrimitive —
+# geometry type codes are known at trace time for a built scene.)
+DISTANCE_FUNCTIONS = {
+    SignedDistancePrimitive.MINI_SPHERES: distance_mini_spheres,
+    SignedDistancePrimitive.INTERSECTED_ROUND_CUBE: distance_intersected_round_cube,
+    SignedDistancePrimitive.SQUARE_TORUS: distance_square_torus,
+    SignedDistancePrimitive.TWISTED_TORUS: distance_twisted_torus,
+    SignedDistancePrimitive.COG: distance_cog,
+    SignedDistancePrimitive.CYLINDER: distance_cylinder,
+    SignedDistancePrimitive.FRACTAL_PYRAMID: distance_fractal_pyramid,
+}
+
+
+def get_distance(p, primitive: SignedDistancePrimitive):
+    return DISTANCE_FUNCTIONS[SignedDistancePrimitive(primitive)](p)
+
+
+# ---------------------------------------------------------------------------
+# Normal + sphere tracer (hlsli:275-319)
+# ---------------------------------------------------------------------------
+
+def calculate_normal(pos, distance_fn):
+    """Tetrahedral-offset gradient estimate, e = 0.5773e-4."""
+    e = 0.5773 * 0.0001
+    exyy = jnp.asarray([e, -e, -e], dtype=pos.dtype)
+    eyyx = jnp.asarray([-e, -e, e], dtype=pos.dtype)
+    eyxy = jnp.asarray([-e, e, -e], dtype=pos.dtype)
+    exxx = jnp.asarray([e, e, e], dtype=pos.dtype)
+    n = (
+        exyy * distance_fn(pos + exyy)[..., None]
+        + eyyx * distance_fn(pos + eyyx)[..., None]
+        + eyxy * distance_fn(pos + eyxy)[..., None]
+        + exxx * distance_fn(pos + exxx)[..., None]
+    )
+    return hlsl.normalize(n)
+
+
+def sphere_trace(
+    origins,
+    directions,
+    distance_fn,
+    *,
+    step_scale=1.0,
+    t_min=0.0,
+    t_max,
+    cull_backface,
+    active=None,
+    max_steps: int = SDF_MAX_STEPS,
+):
+    """Wavefront sphere tracer reproducing RaySignedDistancePrimitiveTest.
+
+    March from t = t_min (the reference marches from RayTMin() == 0, NOT the
+    AABB entry point) in steps of step_scale * distance until
+    distance <= 1e-4 * t; a crossing only terminates the march if the hit is
+    valid (in [t_min, t_max] and not back-face culled) — invalid crossings
+    keep marching, exactly like the reference's loop (hlsli:295-317).
+
+    origins/directions: (..., 3) in the primitive's local space; t is the
+    world-space ray parameter (instance transforms here are scale-free in
+    BLAS->world so the parameter is shared — see accel/instances.py).
+
+    Returns (hit_mask, t_hit, normal).
+    """
+    batch_shape = origins.shape[:-1]
+    f32 = origins.dtype
+    if active is None:
+        active = jnp.ones(batch_shape, dtype=bool)
+
+    t0 = jnp.full(batch_shape, t_min, dtype=f32)
+
+    def body(_, state):
+        t, done, t_hit = state
+        pos = origins + t[..., None] * directions
+        dist = distance_fn(pos)
+        crossed = dist <= SDF_HIT_THRESHOLD * t
+        # Validity check is only performed on crossing lanes; the normal is
+        # evaluated lazily via masking (cheap relative to the march itself
+        # since it runs every step — the Pallas kernel hoists it out).
+        normal = calculate_normal(pos, distance_fn)
+        facing_ok = jnp.where(
+            cull_backface, hlsl.dot(directions, normal) <= 0.0, True
+        )
+        in_range = (t >= t_min) & (t <= t_max)
+        valid_hit = crossed & facing_ok & in_range & active & ~done
+        t_hit = jnp.where(valid_hit, t, t_hit)
+        done = done | valid_hit
+        # March on (also past invalid crossings, with the tiny/negative step
+        # the reference takes there). Lanes that left the ray extent stop
+        # advancing usefully but remain masked out by `done | t > t_max`.
+        t_next = t + step_scale * dist
+        escaped = t_next > t_max
+        done = done | escaped
+        t = jnp.where(done, t, t_next)
+        return t, done, t_hit
+
+    # The reference loop tests `t <= RayTCurrent()` before each step; lane
+    # masking via `done` replicates early exit, fori_loop fixes the trip count.
+    done0 = ~active
+    t_hit0 = jnp.full(batch_shape, jnp.inf, dtype=f32)
+
+    # Evaluate step 0 through max_steps-1; reference runs at most 512
+    # position evaluations (i++ < MaxSteps with post-increment).
+    t, done, t_hit = jax.lax.fori_loop(0, max_steps, body, (t0, done0, t_hit0))
+
+    hit = jnp.isfinite(t_hit)
+    pos_hit = origins + t_hit[..., None] * directions
+    # Recompute the normal at the accepted position (masked to avoid nan/inf
+    # positions on miss lanes).
+    safe_pos = jnp.where(hit[..., None], pos_hit, jnp.zeros_like(pos_hit))
+    normal = calculate_normal(safe_pos, distance_fn)
+    return hit, jnp.where(hit, t_hit, jnp.inf), normal
