@@ -157,23 +157,65 @@ def intersect_metaballs(
     # them is False — same net no-hit as the reference.
     step = (tmax - tmin) / float(max_steps)
 
-    def body(_, state):
-        t, done, t_hit = state
+    # Early-exiting two-phase while loop (same structure as
+    # sdf.sphere_trace): a cheap march step — one summed-potential eval per
+    # lane — pauses lanes at isosurface crossings; the expensive
+    # central-difference normal + validity check runs only on iterations
+    # where some lane paused. The reference advances t by the constant step
+    # every iteration including after an invalid crossing
+    # (hlsli:165-199: `t += minTStep` is unconditional).
+    steps0 = jnp.zeros(batch, dtype=jnp.int32)
+    done0 = ~active
+    paused0 = jnp.zeros(batch, dtype=bool)
+    t_hit0 = jnp.full(batch, jnp.inf, dtype=f32)
+
+    def cond(state):
+        t, steps, done, paused, t_hit = state
+        return jnp.any(~done)
+
+    def body(state):
+        t, steps, done, paused, t_hit = state
+
+        def check(args):
+            t, done, paused, t_hit = args
+            pos = origins + t[..., None] * directions
+            normal = metaballs_normal(pos, centers, radii)
+            facing_ok = jnp.where(
+                cull_backface, hlsl.dot(directions, normal) <= 0.0, True
+            )
+            in_range = (t >= t_min) & (t <= t_max)
+            valid = paused & facing_ok & in_range
+            t_hit = jnp.where(valid, t, t_hit)
+            done = done | valid
+            return t, done, paused, t_hit
+
+        t, done, paused, t_hit = jax.lax.cond(
+            jnp.any(paused), check, lambda a: a, (t, done, paused, t_hit)
+        )
+        paused = paused & ~done
+
+        marching = ~done
+        # Invalid-crossing lanes resume: take the unconditional step (their
+        # crossing eval was counted at pause time).
+        resumed = marching & paused
+        can_eval = marching & ~paused & (steps < max_steps)
+        out_of_steps = marching & ~paused & (steps >= max_steps)
+        done = done | out_of_steps
+
         pos = origins + t[..., None] * directions
         total = metaballs_potential(pos, centers, radii)
         crossed = total >= METABALL_ISO_THRESHOLD
-        normal = metaballs_normal(pos, centers, radii)
-        facing_ok = jnp.where(cull_backface, hlsl.dot(directions, normal) <= 0.0, True)
-        in_range = (t >= t_min) & (t <= t_max)
-        valid = crossed & facing_ok & in_range & active & ~done
-        t_hit = jnp.where(valid, t, t_hit)
-        done = done | valid
-        t = jnp.where(done, t, t + step)
-        return t, done, t_hit
+        newly_paused = can_eval & crossed
+        advance = can_eval & ~crossed
+        steps = steps + jnp.where(can_eval, 1, 0)
 
-    done0 = ~active
-    t_hit0 = jnp.full(batch, jnp.inf, dtype=f32)
-    _, _, t_hit = jax.lax.fori_loop(0, max_steps, body, (tmin, done0, t_hit0))
+        t = jnp.where(resumed | advance, t + step, t)
+        paused = newly_paused
+        return t, steps, done, paused, t_hit
+
+    _, _, _, _, t_hit = jax.lax.while_loop(
+        cond, body, (tmin, steps0, done0, paused0, t_hit0)
+    )
 
     hit = jnp.isfinite(t_hit)
     pos_hit = origins + t_hit[..., None] * directions

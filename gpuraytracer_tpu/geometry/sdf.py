@@ -280,6 +280,16 @@ def sphere_trace(
     valid (in [t_min, t_max] and not back-face culled) — invalid crossings
     keep marching, exactly like the reference's loop (hlsli:295-317).
 
+    Execution shape (TPU-native): the per-thread while loop becomes an
+    early-exiting lax.while_loop over the whole wavefront with a two-phase
+    body — a cheap march step (ONE distance eval per lane) that PAUSES lanes
+    at isosurface crossings, and a validity check (the 4-eval tetrahedral
+    normal + cull test) that only runs on iterations where some lane is
+    paused. Invalid crossings resume the march with the reference's own
+    tiny/negative step. Semantics are identical to evaluating the validity
+    at every crossing in-line; cost is ~5x lower, and geometries whose AABB
+    gate masked out every lane exit after zero iterations.
+
     origins/directions: (..., 3) in the primitive's local space; t is the
     world-space ray parameter (instance transforms here are scale-free in
     BLAS->world so the parameter is shared — see accel/instances.py).
@@ -292,40 +302,70 @@ def sphere_trace(
         active = jnp.ones(batch_shape, dtype=bool)
 
     t0 = jnp.full(batch_shape, t_min, dtype=f32)
-
-    def body(_, state):
-        t, done, t_hit = state
-        pos = origins + t[..., None] * directions
-        dist = distance_fn(pos)
-        crossed = dist <= SDF_HIT_THRESHOLD * t
-        # Validity check is only performed on crossing lanes; the normal is
-        # evaluated lazily via masking (cheap relative to the march itself
-        # since it runs every step — the Pallas kernel hoists it out).
-        normal = calculate_normal(pos, distance_fn)
-        facing_ok = jnp.where(
-            cull_backface, hlsl.dot(directions, normal) <= 0.0, True
-        )
-        in_range = (t >= t_min) & (t <= t_max)
-        valid_hit = crossed & facing_ok & in_range & active & ~done
-        t_hit = jnp.where(valid_hit, t, t_hit)
-        done = done | valid_hit
-        # March on (also past invalid crossings, with the tiny/negative step
-        # the reference takes there). Lanes that left the ray extent stop
-        # advancing usefully but remain masked out by `done | t > t_max`.
-        t_next = t + step_scale * dist
-        escaped = t_next > t_max
-        done = done | escaped
-        t = jnp.where(done, t, t_next)
-        return t, done, t_hit
-
-    # The reference loop tests `t <= RayTCurrent()` before each step; lane
-    # masking via `done` replicates early exit, fori_loop fixes the trip count.
+    steps0 = jnp.zeros(batch_shape, dtype=jnp.int32)
     done0 = ~active
+    paused0 = jnp.zeros(batch_shape, dtype=bool)
     t_hit0 = jnp.full(batch_shape, jnp.inf, dtype=f32)
 
-    # Evaluate step 0 through max_steps-1; reference runs at most 512
-    # position evaluations (i++ < MaxSteps with post-increment).
-    t, done, t_hit = jax.lax.fori_loop(0, max_steps, body, (t0, done0, t_hit0))
+    def cond(state):
+        t, steps, done, paused, t_hit = state
+        return jnp.any(~done)
+
+    def body(state):
+        t, steps, done, paused, t_hit = state
+
+        # -- validity phase: lanes paused at a crossing get the full check
+        # (the body of the reference's `if (distance <= threshold * t)`).
+        # Valid -> done with t_hit; invalid -> stays paused, resumes below.
+        def check(args):
+            t, done, paused, t_hit = args
+            pos = origins + t[..., None] * directions
+            normal = calculate_normal(pos, distance_fn)
+            facing_ok = jnp.where(
+                cull_backface, hlsl.dot(directions, normal) <= 0.0, True
+            )
+            in_range = (t >= t_min) & (t <= t_max)
+            valid = paused & facing_ok & in_range
+            t_hit = jnp.where(valid, t, t_hit)
+            done = done | valid
+            return t, done, paused, t_hit
+
+        t, done, paused, t_hit = jax.lax.cond(
+            jnp.any(paused), check, lambda a: a, (t, done, paused, t_hit)
+        )
+        paused = paused & ~done  # invalid-crossing lanes remain paused
+
+        marching = ~done
+        pos = origins + t[..., None] * directions
+        dist = distance_fn(pos)
+
+        # Resumed lanes (paused, found invalid above) take the step the
+        # reference takes AFTER its failed validity check: t += scale*dist
+        # with dist evaluated at the crossing point. Their crossing eval was
+        # already counted when they paused, so no step increment here.
+        resumed = marching & paused
+
+        # Fresh lanes evaluate the SDF once == one reference loop iteration;
+        # `i++ < MaxSteps` means only lanes with steps < max may evaluate.
+        can_eval = marching & ~paused & (steps < max_steps)
+        out_of_steps = marching & ~paused & (steps >= max_steps)
+        done = done | out_of_steps
+
+        crossed = dist <= SDF_HIT_THRESHOLD * t
+        newly_paused = can_eval & crossed
+        advance = can_eval & ~crossed
+        steps = steps + jnp.where(can_eval, 1, 0)
+
+        moved = resumed | advance
+        t = jnp.where(moved, t + step_scale * dist, t)
+        # Reference re-checks `t <= RayTCurrent()` before the next eval.
+        done = done | (moved & (t > t_max))
+        paused = newly_paused
+        return t, steps, done, paused, t_hit
+
+    _, _, _, _, t_hit = jax.lax.while_loop(
+        cond, body, (t0, steps0, done0, paused0, t_hit0)
+    )
 
     hit = jnp.isfinite(t_hit)
     pos_hit = origins + t_hit[..., None] * directions
