@@ -1,0 +1,82 @@
+"""Benchmark harness — the calculate_frame_stats / GPUTimer analog.
+
+Headline metric (BASELINE.md): "~Million Primary Rays/s" = W*H*fps / 1e6
+(reference: Renderer.cpp:374-399) on the 1080p builtin scene (the SDF
+fractal is the dominant cost — BASELINE.json configs #3/#5 class). The
+north-star target is 100 Mrays/s/chip on TPU v5e.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 100 (the north-star Mrays/s target; the reference
+publishes no numbers of its own — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+NORTH_STAR_MRAYS = 100.0
+
+
+def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: int = 2):
+    import jax
+    import numpy as np
+
+    from gpuraytracer_tpu.models import builtin
+    from gpuraytracer_tpu.render import trace
+
+    scene0 = builtin.build_scene(aspect=width / height, elapsed_time=0.0)
+    render = trace.make_renderer(scene0.layout, width, height)
+
+    # Animated frames, like the reference's default run (geometry animation
+    # on): rebuild the per-frame scene arrays host-side, render on device.
+    def arrays_at(t):
+        return builtin.build_scene(aspect=width / height, elapsed_time=t).arrays
+
+    frame_times = []
+    for i in range(warmup + frames):
+        arrays = arrays_at(0.033 * i)
+        t0 = time.perf_counter()
+        img = render(arrays)
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            frame_times.append(dt)
+
+    frame_ms = float(np.median(frame_times) * 1e3)
+    fps = 1e3 / frame_ms
+    mrays = width * height * fps / 1e6
+    return {
+        "metric": "primary_mrays_per_sec_per_chip_1080p_builtin_scene",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "detail": {
+            "frame_ms": round(frame_ms, 2),
+            "fps": round(fps, 3),
+            "width": width,
+            "height": height,
+            "frames": frames,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--warmup", type=int, default=2)
+    args = p.parse_args()
+    result = run_bench(args.width, args.height, args.frames, args.warmup)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,12 +84,12 @@ def trace_radiance(
     light_pos = constants.light_position[:3]
     plane_id = scene.layout.plane_geometry_id
 
-    color = jnp.zeros(batch + (4,), dtype=f32)
-    throughput = jnp.ones(batch + (4,), dtype=f32)
-    active = jnp.ones(batch, dtype=bool)
+    color0 = jnp.zeros(batch + (4,), dtype=f32)
+    throughput0 = jnp.ones(batch + (4,), dtype=f32)
+    active0 = jnp.ones(batch, dtype=bool)
 
-    o, d = origins, directions
-    for level in range(max_depth):
+    def level_body(carry, trace_shadow):
+        o, d, active, throughput, color = carry
         hit = closest_hit(o, d, scene, t_min=RAY_TMIN, t_max=RAY_TMAX,
                           cull_backface=True, active=active)
         hit_pos = o + hit.t[..., None] * d
@@ -98,18 +98,18 @@ def trace_radiance(
             arrays.materials, hit.geometry_id
         )
 
-        # Shadow ray (levels where payload depth < MAX_RAY_RECURSION_DEPTH;
-        # at the last level the reference's shadow trace short-circuits to
-        # "not occluded", Raytracing.hlsl:117-120).
-        if level + 1 < max_depth:
-            shadow_dir = hlsl.normalize(light_pos - hit_pos)
-            in_shadow = any_hit(
-                hit_pos, shadow_dir, scene,
-                t_min=RAY_TMIN, t_max=RAY_TMAX,
-                active=active & hit.hit,
-            )
-        else:
-            in_shadow = jnp.zeros(batch, dtype=bool)
+        # Shadow ray. At the last level the reference's shadow trace hits the
+        # recursion cap and short-circuits to "not occluded"
+        # (Raytracing.hlsl:117-120); trace_shadow carries that flag, and the
+        # dead pass costs nothing at runtime — an all-false active mask makes
+        # every marcher's while_loop exit immediately.
+        shadow_dir = hlsl.normalize(light_pos - hit_pos)
+        in_shadow = any_hit(
+            hit_pos, shadow_dir, scene,
+            t_min=RAY_TMIN, t_max=RAY_TMAX,
+            active=active & hit.hit & trace_shadow,
+        )
+        in_shadow = in_shadow & trace_shadow
 
         phong = shade.phong_lighting(
             albedo,
@@ -153,12 +153,20 @@ def trace_radiance(
 
         color = color + jnp.where(active[..., None], throughput * base, 0.0)
         throughput = throughput * mult
+        active = active & reflective
+        o = hit_pos
+        d = hlsl.reflect(d, hit.normal)
+        return (o, d, active, throughput, color), None
 
-        if level + 1 < max_depth:
-            active = active & reflective
-            o = hit_pos
-            d = hlsl.reflect(d, hit.normal)
-
+    # Levels differ only in the shadow flag; lax.scan compiles the traversal
+    # ONCE instead of once per level (the depth-3 unroll would triple
+    # compile time for identical code).
+    shadow_flags = jnp.arange(max_depth) + 1 < max_depth
+    (_, _, _, _, color), _ = jax.lax.scan(
+        level_body,
+        (origins, directions, active0, throughput0, color0),
+        shadow_flags,
+    )
     return color
 
 
