@@ -149,7 +149,11 @@ def generate_camera_rays(pixel_x, pixel_y, width, height, camera_position, proje
     world_xyz = world[..., :3] / world[..., 3:4]
 
     cam = jnp.asarray(camera_position, dtype=jnp.float32)[..., :3]
-    origins = jnp.broadcast_to(cam, world_xyz.shape)
+    # `world_xyz * 0 + cam` rather than broadcast_to: under shard_map the
+    # origins must carry the same varying-manual-axes type as the pixel
+    # grid they were generated from, or downstream cond/while carries
+    # type-mismatch against direction-derived values.
+    origins = world_xyz * 0.0 + cam
     directions = hlsl.normalize(world_xyz - cam)
     return origins, directions
 

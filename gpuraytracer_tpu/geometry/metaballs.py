@@ -145,8 +145,10 @@ def intersect_metaballs(
     """
     batch = origins.shape[:-1]
     f32 = origins.dtype
+    # Varying-by-construction loop state (see sdf.sphere_trace).
+    zero = (origins[..., 0] + directions[..., 0]) * 0.0
     if active is None:
-        active = jnp.ones(batch, dtype=bool)
+        active = zero > -1.0
 
     centers, radii = animated_metaballs(elapsed_time)
     tmin, tmax = find_intersecting_metaballs(
@@ -164,10 +166,10 @@ def intersect_metaballs(
     # where some lane paused. The reference advances t by the constant step
     # every iteration including after an invalid crossing
     # (hlsli:165-199: `t += minTStep` is unconditional).
-    steps0 = jnp.zeros(batch, dtype=jnp.int32)
+    steps0 = zero.astype(jnp.int32)
     done0 = ~active
-    paused0 = jnp.zeros(batch, dtype=bool)
-    t_hit0 = jnp.full(batch, jnp.inf, dtype=f32)
+    paused0 = zero > 1.0  # all False
+    t_hit0 = zero + jnp.inf
 
     def cond(state):
         t, steps, done, paused, t_hit = state

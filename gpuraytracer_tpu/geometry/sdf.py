@@ -298,14 +298,17 @@ def sphere_trace(
     """
     batch_shape = origins.shape[:-1]
     f32 = origins.dtype
+    # Derive loop state from the (possibly shard_map-varying) ray arrays so
+    # every while/cond carry has a consistent varying-manual-axes type.
+    zero = (origins[..., 0] + directions[..., 0]) * 0.0
     if active is None:
-        active = jnp.ones(batch_shape, dtype=bool)
+        active = zero > -1.0  # all True, varying like the rays
 
-    t0 = jnp.full(batch_shape, t_min, dtype=f32)
-    steps0 = jnp.zeros(batch_shape, dtype=jnp.int32)
+    t0 = zero + t_min
+    steps0 = zero.astype(jnp.int32)
     done0 = ~active
-    paused0 = jnp.zeros(batch_shape, dtype=bool)
-    t_hit0 = jnp.full(batch_shape, jnp.inf, dtype=f32)
+    paused0 = zero > 1.0  # all False
+    t_hit0 = zero + jnp.inf
 
     def cond(state):
         t, steps, done, paused, t_hit = state

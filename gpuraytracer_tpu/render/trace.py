@@ -84,9 +84,12 @@ def trace_radiance(
     light_pos = constants.light_position[:3]
     plane_id = scene.layout.plane_geometry_id
 
-    color0 = jnp.zeros(batch + (4,), dtype=f32)
-    throughput0 = jnp.ones(batch + (4,), dtype=f32)
-    active0 = jnp.ones(batch, dtype=bool)
+    # Varying-by-construction scan carries (see sdf.sphere_trace): inherit
+    # the rays' varying-manual-axes type so shard_map accepts the loop.
+    vzero = (origins[..., :1] + directions[..., :1]) * 0.0  # (..., 1)
+    color0 = jnp.zeros(batch + (4,), dtype=f32) + vzero
+    throughput0 = jnp.ones(batch + (4,), dtype=f32) + vzero
+    active0 = vzero[..., 0] > -1.0
 
     def level_body(carry, trace_shadow):
         o, d, active, throughput, color = carry
