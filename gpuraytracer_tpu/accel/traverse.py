@@ -82,7 +82,7 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             active=gate,
         )
     elif kind == IntersectorKind.SIGNED_DISTANCE:
-        distance_fn = sdf.DISTANCE_FUNCTIONS[SignedDistancePrimitive(prim_type)]
+        distance_fn = sdf.DISTANCE_FUNCTIONS[int(prim_type)]
         return sdf.sphere_trace(
             o_loc,
             d_loc,

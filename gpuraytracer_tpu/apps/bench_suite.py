@@ -1,0 +1,106 @@
+"""Benchmark suite over the five BASELINE.json configs.
+
+Records both Mrays/s variants the reference computes: fps-derived
+(Renderer.cpp:391) and dispatch-time-derived
+(RendererRaytracingHelper.h:673-678), per config.
+
+Usage:
+  python -m gpuraytracer_tpu.apps.bench_suite [--configs a,b] [--frames 4]
+         [--scale 1.0] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def bench_config(cfg, frames: int = 4, warmup: int = 1, scale: float = 1.0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpuraytracer_tpu.accel.instances import Scene
+    from gpuraytracer_tpu.render import trace
+    from gpuraytracer_tpu.utils import stats
+
+    width = max(8, int(cfg.width * scale))
+    height = max(8, int(cfg.height * scale))
+    scene0 = cfg.build(width / height, 0.0)
+    layout = scene0.layout
+
+    @jax.jit
+    def step(arrays):
+        img = trace.render_frame(Scene(layout, arrays), width, height,
+                                 max_depth=cfg.max_depth)
+        # Checksum forces full materialization without a framebuffer
+        # transfer (block_until_ready alone does not synchronize on remote
+        # plugins).
+        return img, jnp.sum(img)
+
+    times = []
+    t_compile = None
+    for i in range(warmup + frames):
+        t_anim = 0.033 * i if cfg.animated else 0.0
+        arrays = cfg.build(width / height, t_anim).arrays
+        t0 = time.perf_counter()
+        _, checksum = step(arrays)
+        float(checksum)
+        dt = time.perf_counter() - t0
+        if i == 0:
+            t_compile = dt
+        if i >= warmup:
+            times.append(dt)
+
+    import numpy as np
+
+    frame_ms = float(np.median(times) * 1e3)
+    fps = 1e3 / frame_ms
+    return {
+        "config": cfg.name,
+        "width": width,
+        "height": height,
+        "max_depth": cfg.max_depth,
+        "frame_ms": round(frame_ms, 3),
+        "fps": round(fps, 3),
+        "mrays_fps": round(stats.mrays_per_second_from_fps(width, height, fps), 3),
+        "mrays_dispatch": round(
+            stats.mrays_per_second_from_dispatch_ms(width, height, frame_ms), 3
+        ),
+        "compile_s": round(t_compile, 1),
+    }
+
+
+def main(argv=None) -> int:
+    from gpuraytracer_tpu.models.scenes import BENCH_CONFIGS, get_config
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--configs", type=str, default="",
+                   help="comma-separated names (default: all five)")
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="resolution scale factor (CI smoke runs)")
+    p.add_argument("--json", type=str, default="")
+    args = p.parse_args(argv)
+
+    configs = (
+        [get_config(n) for n in args.configs.split(",") if n]
+        if args.configs
+        else list(BENCH_CONFIGS)
+    )
+    results = []
+    for cfg in configs:
+        r = bench_config(cfg, args.frames, args.warmup, args.scale)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,3 +1,3 @@
-from gpuraytracer_tpu.geometry import analytic, metaballs, registry, sdf
+from gpuraytracer_tpu.geometry import analytic, fractal, metaballs, registry, sdf
 
-__all__ = ["analytic", "metaballs", "registry", "sdf"]
+__all__ = ["analytic", "fractal", "metaballs", "registry", "sdf"]

@@ -137,90 +137,106 @@ def intersect_metaballs(
     cull_backface,
     active=None,
     max_steps: int = METABALL_MAX_STEPS,
+    chunk_size: int | None = None,
+    unroll: int | None = None,
 ):
     """RayMetaballsIntersectionTest (hlsli:151-202), wavefront form.
 
     origins/directions in the primitive's local space; t shared with world
     (see accel/instances.py). Returns (hit, t_hit, normal).
+
+    Chunked early-exiting two-phase while loop (same structure as
+    sdf.sphere_trace): a cheap march step — one summed-potential eval per
+    lane — pauses lanes at isosurface crossings; the expensive
+    central-difference normal + validity check runs only on iterations
+    where some lane paused. The reference advances t by the constant step
+    every iteration including after an invalid crossing
+    (hlsli:165-199: `t += minTStep` is unconditional).
     """
-    batch = origins.shape[:-1]
-    f32 = origins.dtype
-    # Varying-by-construction loop state (see sdf.sphere_trace).
-    zero = (origins[..., 0] + directions[..., 0]) * 0.0
+    from gpuraytracer_tpu.geometry import sdf as _sdf
+    from gpuraytracer_tpu.geometry.sdf import _chunked
+
+    if chunk_size is None:
+        chunk_size = _sdf.DEFAULT_CHUNK_SIZE
+    if unroll is None:
+        unroll = _sdf.DEFAULT_UNROLL
     if active is None:
-        active = zero > -1.0
+        active = (origins[..., 0] + directions[..., 0]) * 0.0 > -1.0
 
     centers, radii = animated_metaballs(elapsed_time)
-    tmin, tmax = find_intersecting_metaballs(
-        origins, directions, centers, radii, t_min, t_max
-    )
-    # Lanes with no bounding-sphere overlap get tmin=+inf/tmax=-inf; the
-    # march below produces inf/nan positions there, and every comparison on
-    # them is False — same net no-hit as the reference.
-    step = (tmax - tmin) / float(max_steps)
 
-    # Early-exiting two-phase while loop (same structure as
-    # sdf.sphere_trace): a cheap march step — one summed-potential eval per
-    # lane — pauses lanes at isosurface crossings; the expensive
-    # central-difference normal + validity check runs only on iterations
-    # where some lane paused. The reference advances t by the constant step
-    # every iteration including after an invalid crossing
-    # (hlsli:165-199: `t += minTStep` is unconditional).
-    steps0 = zero.astype(jnp.int32)
-    done0 = ~active
-    paused0 = zero > 1.0  # all False
-    t_hit0 = zero + jnp.inf
-
-    def cond(state):
-        t, steps, done, paused, t_hit = state
-        return jnp.any(~done)
-
-    def body(state):
-        t, steps, done, paused, t_hit = state
-
-        def check(args):
-            t, done, paused, t_hit = args
-            pos = origins + t[..., None] * directions
-            normal = metaballs_normal(pos, centers, radii)
-            facing_ok = jnp.where(
-                cull_backface, hlsl.dot(directions, normal) <= 0.0, True
-            )
-            in_range = (t >= t_min) & (t <= t_max)
-            valid = paused & facing_ok & in_range
-            t_hit = jnp.where(valid, t, t_hit)
-            done = done | valid
-            return t, done, paused, t_hit
-
-        t, done, paused, t_hit = jax.lax.cond(
-            jnp.any(paused), check, lambda a: a, (t, done, paused, t_hit)
+    def trace_batch(origins, directions, active):
+        zero = (origins[..., 0] + directions[..., 0]) * 0.0
+        tmin, tmax = find_intersecting_metaballs(
+            origins, directions, centers, radii, t_min, t_max
         )
-        paused = paused & ~done
+        # Lanes with no bounding-sphere overlap get tmin=+inf/tmax=-inf; the
+        # march below produces inf/nan positions there, and every comparison
+        # on them is False — same net no-hit as the reference.
+        step = (tmax - tmin) / float(max_steps)
 
-        marching = ~done
-        # Invalid-crossing lanes resume: take the unconditional step (their
-        # crossing eval was counted at pause time).
-        resumed = marching & paused
-        can_eval = marching & ~paused & (steps < max_steps)
-        out_of_steps = marching & ~paused & (steps >= max_steps)
-        done = done | out_of_steps
+        steps0 = zero.astype(jnp.int32)
+        done0 = ~active
+        paused0 = zero > 1.0  # all False
+        t_hit0 = zero + jnp.inf
 
-        pos = origins + t[..., None] * directions
-        total = metaballs_potential(pos, centers, radii)
-        crossed = total >= METABALL_ISO_THRESHOLD
-        newly_paused = can_eval & crossed
-        advance = can_eval & ~crossed
-        steps = steps + jnp.where(can_eval, 1, 0)
+        def cond(state):
+            t, steps, done, paused, t_hit = state
+            return jnp.any(~done)
 
-        t = jnp.where(resumed | advance, t + step, t)
-        paused = newly_paused
-        return t, steps, done, paused, t_hit
+        def body(state):
+            t, steps, done, paused, t_hit = state
 
-    _, _, _, _, t_hit = jax.lax.while_loop(
-        cond, body, (tmin, steps0, done0, paused0, t_hit0)
-    )
+            def check(args):
+                t, done, paused, t_hit = args
+                pos = origins + t[..., None] * directions
+                normal = metaballs_normal(pos, centers, radii)
+                facing_ok = jnp.where(
+                    cull_backface, hlsl.dot(directions, normal) <= 0.0, True
+                )
+                in_range = (t >= t_min) & (t <= t_max)
+                valid = paused & facing_ok & in_range
+                t_hit = jnp.where(valid, t, t_hit)
+                done = done | valid
+                return t, done, paused, t_hit
 
-    hit = jnp.isfinite(t_hit)
-    pos_hit = origins + t_hit[..., None] * directions
-    safe = jnp.where(hit[..., None], pos_hit, jnp.zeros_like(pos_hit))
-    normal = metaballs_normal(safe, centers, radii)
-    return hit, jnp.where(hit, t_hit, jnp.inf), normal
+            t, done, paused, t_hit = jax.lax.cond(
+                jnp.any(paused), check, lambda a: a, (t, done, paused, t_hit)
+            )
+            # Invalid-crossing survivors take the unconditional step (their
+            # crossing eval was counted at pause time), then continue fresh.
+            resume = paused & ~done
+            paused = paused & ~paused  # all False, correct VMA
+
+            # Unrolled march micro-steps (see sdf.sphere_trace).
+            for _ in range(unroll):
+                marching = ~done & ~paused
+                pos = origins + t[..., None] * directions
+                total = metaballs_potential(pos, centers, radii)
+
+                adv_resume = marching & resume
+                fresh = marching & ~resume & (steps < max_steps)
+                out_of_steps = marching & ~resume & (steps >= max_steps)
+                done = done | out_of_steps
+
+                crossed = total >= METABALL_ISO_THRESHOLD
+                newly_paused = fresh & crossed
+                advance = fresh & ~crossed
+                steps = steps + jnp.where(fresh, 1, 0)
+
+                t = jnp.where(adv_resume | advance, t + step, t)
+                paused = paused | newly_paused
+                resume = resume & ~adv_resume
+            return t, steps, done, paused, t_hit
+
+        _, _, _, _, t_hit = jax.lax.while_loop(
+            cond, body, (tmin, steps0, done0, paused0, t_hit0)
+        )
+
+        hit = jnp.isfinite(t_hit)
+        pos_hit = origins + t_hit[..., None] * directions
+        safe = jnp.where(hit[..., None], pos_hit, jnp.zeros_like(pos_hit))
+        normal = metaballs_normal(safe, centers, radii)
+        return hit, jnp.where(hit, t_hit, jnp.inf), normal
+
+    return _chunked(trace_batch, origins, directions, active, chunk_size)

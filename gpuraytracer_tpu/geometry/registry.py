@@ -67,8 +67,8 @@ def _metaballs(o, d, *, t_min, t_max, cull_backface, step_scale, elapsed_time, a
     )
 
 
-def _make_sdf(prim: SignedDistancePrimitive):
-    distance_fn = sdf.DISTANCE_FUNCTIONS[prim]
+def _make_sdf(prim_code: int):
+    distance_fn = sdf.DISTANCE_FUNCTIONS[int(prim_code)]
 
     def _fn(o, d, *, t_min, t_max, cull_backface, step_scale, elapsed_time, active):
         return sdf.sphere_trace(
@@ -79,8 +79,10 @@ def _make_sdf(prim: SignedDistancePrimitive):
     return _fn
 
 
-for _prim in SignedDistancePrimitive:
-    register(IntersectorKind.SIGNED_DISTANCE, _prim)(_make_sdf(_prim))
+from gpuraytracer_tpu.geometry import fractal as _fractal  # noqa: E402 (registers extended SDFs)
+
+for _code in sorted(sdf.DISTANCE_FUNCTIONS):
+    register(IntersectorKind.SIGNED_DISTANCE, _code)(_make_sdf(_code))
 
 
 def intersect_switch(

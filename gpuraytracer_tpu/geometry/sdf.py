@@ -29,6 +29,13 @@ from gpuraytracer_tpu.core.types import (
     SignedDistancePrimitive,
 )
 
+# Wavefront execution tuning (see sphere_trace): rays are processed in
+# fixed-size chunks, each with its own early-exiting while loop, taking
+# `unroll` march micro-steps per iteration. Module-level so benchmarks and
+# deployments can retune without threading parameters everywhere.
+DEFAULT_CHUNK_SIZE: int | None = 4096
+DEFAULT_UNROLL: int = 8
+
 # ---------------------------------------------------------------------------
 # CSG operators (hlsli:55-114)
 # ---------------------------------------------------------------------------
@@ -95,16 +102,21 @@ def ud_round_box(p, b, r):
     return hlsl.length(jnp.maximum(jnp.abs(p) - b, 0.0)) - r
 
 
+def _length_xz(p):
+    # hypot over the x/z components without fancy-index gathers (TPU-hostile).
+    return jnp.sqrt(p[..., 0] * p[..., 0] + p[..., 2] * p[..., 2])
+
+
 def sd_torus(p, t):
     """t = (radius, tube radius)."""
-    q_x = hlsl.length(p[..., [0, 2]]) - t[0]
+    q_x = _length_xz(p) - t[0]
     q = jnp.stack([q_x, p[..., 1]], axis=-1)
     return hlsl.length(q) - t[1]
 
 
 def sd_cylinder(p, h):
     """h = (radius, half height)."""
-    d_x = jnp.abs(hlsl.length(p[..., [0, 2]])) - h[0]
+    d_x = jnp.abs(_length_xz(p)) - h[0]
     d_y = jnp.abs(p[..., 1]) - h[1]
     d = jnp.stack([d_x, d_y], axis=-1)
     return jnp.minimum(jnp.maximum(d_x, d_y), 0.0) + hlsl.length(jnp.maximum(d, 0.0))
@@ -120,7 +132,7 @@ def length_to_pow_negative8(p2):
 
 def sd_torus82(p, t):
     """Square-profile torus: L2 ring distance, L8 tube norm (hlsli:258-262)."""
-    q_x = hlsl.length(p[..., [0, 2]]) - t[0]
+    q_x = _length_xz(p) - t[0]
     q = jnp.stack([q_x, p[..., 1]], axis=-1)
     return length_to_pow_negative8(q) - t[1]
 
@@ -147,24 +159,27 @@ def sd_fractal_pyramid(p, h, scale=2.0, iterations=FRACTAL_ITERATIONS_COUNT):
     p <- scale*p - v*(scale-1), then sdPyramid rescaled by scale^-n.
     """
     a = h[2] * h[1] / h[0]
-    vertices = jnp.asarray(
-        [
-            [0.0, h[2], 0.0],
-            [-a, 0.0, a],
-            [a, 0.0, -a],
-            [a, 0.0, a],
-            [-a, 0.0, -a],
-        ],
-        dtype=p.dtype,
-    )  # (5, 3)
+    vertices = [
+        jnp.asarray([0.0, h[2], 0.0], dtype=p.dtype),
+        jnp.asarray([-a, 0.0, a], dtype=p.dtype),
+        jnp.asarray([a, 0.0, -a], dtype=p.dtype),
+        jnp.asarray([a, 0.0, a], dtype=p.dtype),
+        jnp.asarray([-a, 0.0, -a], dtype=p.dtype),
+    ]
 
     for _ in range(iterations):
-        # Closest vertex by squared distance; ties keep the earlier vertex
-        # (strict < update in the reference).
-        d2 = hlsl.length_sq(p[..., None, :] - vertices)  # (..., 5)
-        idx = jnp.argmin(d2, axis=-1)  # argmin returns first minimum == strict-< loop
-        v = vertices[idx]
-        p = scale * p - v * (scale - 1.0)
+        # Closest vertex by squared distance via a branchless select chain
+        # (strict <, ties keep the earlier vertex, like the reference's
+        # if-chain). A gather (vertices[argmin]) would serialize on the TPU
+        # VPU; selects stay fully vectorized.
+        best_v = jnp.broadcast_to(vertices[0], p.shape)
+        best_d = hlsl.length_sq(p - vertices[0])
+        for v in vertices[1:]:
+            dv = hlsl.length_sq(p - v)
+            closer = dv < best_d
+            best_v = jnp.where(closer[..., None], v, best_v)
+            best_d = jnp.where(closer, dv, best_d)
+        p = scale * p - best_v * (scale - 1.0)
 
     return sd_pyramid(p, h) * (scale ** (-float(iterations)))
 
@@ -222,22 +237,24 @@ def distance_fractal_pyramid(p):
     )
 
 
-# Static dispatch table: SignedDistancePrimitive enum -> distance function.
+# Static dispatch table: primitive type code (int) -> distance function.
 # (The lax.switch-free analog of GetDistanceFromSignedDistancePrimitive —
-# geometry type codes are known at trace time for a built scene.)
+# geometry type codes are known at trace time for a built scene.) Extended
+# primitives (geometry/fractal.py: Mandelbulb, quaternion Julia) register
+# additional codes past the reference's 0..6.
 DISTANCE_FUNCTIONS = {
-    SignedDistancePrimitive.MINI_SPHERES: distance_mini_spheres,
-    SignedDistancePrimitive.INTERSECTED_ROUND_CUBE: distance_intersected_round_cube,
-    SignedDistancePrimitive.SQUARE_TORUS: distance_square_torus,
-    SignedDistancePrimitive.TWISTED_TORUS: distance_twisted_torus,
-    SignedDistancePrimitive.COG: distance_cog,
-    SignedDistancePrimitive.CYLINDER: distance_cylinder,
-    SignedDistancePrimitive.FRACTAL_PYRAMID: distance_fractal_pyramid,
+    int(SignedDistancePrimitive.MINI_SPHERES): distance_mini_spheres,
+    int(SignedDistancePrimitive.INTERSECTED_ROUND_CUBE): distance_intersected_round_cube,
+    int(SignedDistancePrimitive.SQUARE_TORUS): distance_square_torus,
+    int(SignedDistancePrimitive.TWISTED_TORUS): distance_twisted_torus,
+    int(SignedDistancePrimitive.COG): distance_cog,
+    int(SignedDistancePrimitive.CYLINDER): distance_cylinder,
+    int(SignedDistancePrimitive.FRACTAL_PYRAMID): distance_fractal_pyramid,
 }
 
 
-def get_distance(p, primitive: SignedDistancePrimitive):
-    return DISTANCE_FUNCTIONS[SignedDistancePrimitive(primitive)](p)
+def get_distance(p, primitive):
+    return DISTANCE_FUNCTIONS[int(primitive)](p)
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +277,46 @@ def calculate_normal(pos, distance_fn):
     return hlsl.normalize(n)
 
 
+def _chunked(batch_fn, origins, directions, active, chunk_size):
+    """Run a per-lane-independent wavefront loop in fixed-size chunks via
+    lax.map, so each chunk's while_loop terminates on ITS slowest lane
+    rather than the global batch's. Chunks whose gate mask is empty exit
+    after zero iterations — with 10 geometries each covering a small screen
+    region, most chunks skip most geometries. This is the XLA-level form of
+    the Pallas per-tile megakernel (kernels/ carries the tile version).
+
+    batch_fn: (o, d, active) -> pytree of (chunk, ...) results.
+    """
+    batch_shape = origins.shape[:-1]
+    n = 1
+    for s in batch_shape:
+        n *= s
+    if chunk_size is None or n <= chunk_size:
+        return batch_fn(origins, directions, active)
+
+    pad = (-n) % chunk_size
+    c = (n + pad) // chunk_size
+
+    def flat(x, fill):
+        x = x.reshape((n,) + x.shape[len(batch_shape):])
+        if pad:
+            pad_widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, pad_widths, constant_values=fill)
+        return x.reshape((c, chunk_size) + x.shape[1:])
+
+    o = flat(origins, 0.0)
+    d = flat(directions, 1.0)
+    a = flat(active, False)
+
+    outs = jax.lax.map(lambda args: batch_fn(*args), (o, d, a))
+
+    def unflat(x):
+        x = x.reshape((c * chunk_size,) + x.shape[2:])
+        return x[:n].reshape(batch_shape + x.shape[1:])
+
+    return jax.tree_util.tree_map(unflat, outs)
+
+
 def sphere_trace(
     origins,
     directions,
@@ -271,6 +328,8 @@ def sphere_trace(
     cull_backface,
     active=None,
     max_steps: int = SDF_MAX_STEPS,
+    chunk_size: int | None = None,
+    unroll: int | None = None,
 ):
     """Wavefront sphere tracer reproducing RaySignedDistancePrimitiveTest.
 
@@ -296,84 +355,95 @@ def sphere_trace(
 
     Returns (hit_mask, t_hit, normal).
     """
-    batch_shape = origins.shape[:-1]
-    f32 = origins.dtype
-    # Derive loop state from the (possibly shard_map-varying) ray arrays so
-    # every while/cond carry has a consistent varying-manual-axes type.
-    zero = (origins[..., 0] + directions[..., 0]) * 0.0
+    if chunk_size is None:
+        chunk_size = DEFAULT_CHUNK_SIZE
+    if unroll is None:
+        unroll = DEFAULT_UNROLL
     if active is None:
-        active = zero > -1.0  # all True, varying like the rays
+        # Varying like the rays (see _chunked docstring / shard_map VMA).
+        active = (origins[..., 0] + directions[..., 0]) * 0.0 > -1.0
 
-    t0 = zero + t_min
-    steps0 = zero.astype(jnp.int32)
-    done0 = ~active
-    paused0 = zero > 1.0  # all False
-    t_hit0 = zero + jnp.inf
+    def trace_batch(origins, directions, active):
+        zero = (origins[..., 0] + directions[..., 0]) * 0.0
+        t0 = zero + t_min
+        steps0 = zero.astype(jnp.int32)
+        done0 = ~active
+        paused0 = zero > 1.0  # all False
+        t_hit0 = zero + jnp.inf
 
-    def cond(state):
-        t, steps, done, paused, t_hit = state
-        return jnp.any(~done)
+        def cond(state):
+            t, steps, done, paused, t_hit = state
+            return jnp.any(~done)
 
-    def body(state):
-        t, steps, done, paused, t_hit = state
+        def body(state):
+            t, steps, done, paused, t_hit = state
 
-        # -- validity phase: lanes paused at a crossing get the full check
-        # (the body of the reference's `if (distance <= threshold * t)`).
-        # Valid -> done with t_hit; invalid -> stays paused, resumes below.
-        def check(args):
-            t, done, paused, t_hit = args
-            pos = origins + t[..., None] * directions
-            normal = calculate_normal(pos, distance_fn)
-            facing_ok = jnp.where(
-                cull_backface, hlsl.dot(directions, normal) <= 0.0, True
+            # -- validity phase: lanes paused at a crossing get the full
+            # check (the body of the reference's
+            # `if (distance <= threshold * t)`). Valid -> done with t_hit;
+            # invalid -> stays paused, resumes below.
+            def check(args):
+                t, done, paused, t_hit = args
+                pos = origins + t[..., None] * directions
+                normal = calculate_normal(pos, distance_fn)
+                facing_ok = jnp.where(
+                    cull_backface, hlsl.dot(directions, normal) <= 0.0, True
+                )
+                in_range = (t >= t_min) & (t <= t_max)
+                valid = paused & facing_ok & in_range
+                t_hit = jnp.where(valid, t, t_hit)
+                done = done | valid
+                return t, done, paused, t_hit
+
+            t, done, paused, t_hit = jax.lax.cond(
+                jnp.any(paused), check, lambda a: a, (t, done, paused, t_hit)
             )
-            in_range = (t >= t_min) & (t <= t_max)
-            valid = paused & facing_ok & in_range
-            t_hit = jnp.where(valid, t, t_hit)
-            done = done | valid
-            return t, done, paused, t_hit
+            # Invalid-crossing survivors take the step the reference takes
+            # AFTER its failed validity check — t += scale*dist at the
+            # crossing point, uncounted (their crossing eval was counted at
+            # pause time) — then continue as fresh lanes.
+            resume = paused & ~done
+            paused = paused & ~paused  # all False, correct VMA
 
-        t, done, paused, t_hit = jax.lax.cond(
-            jnp.any(paused), check, lambda a: a, (t, done, paused, t_hit)
+            # `unroll` march micro-steps per while iteration: cuts the
+            # sequential iteration count (and its fixed scalar-core cost)
+            # ~unroll-fold. Lanes that cross mid-segment freeze until the
+            # next check phase; per-lane eval/step accounting is identical
+            # to the single-step form.
+            for _ in range(unroll):
+                marching = ~done & ~paused
+                pos = origins + t[..., None] * directions
+                dist = distance_fn(pos)
+
+                adv_resume = marching & resume
+                fresh = marching & ~resume & (steps < max_steps)
+                out_of_steps = marching & ~resume & (steps >= max_steps)
+                done = done | out_of_steps
+
+                crossed = dist <= SDF_HIT_THRESHOLD * t
+                newly_paused = fresh & crossed
+                advance = fresh & ~crossed
+                steps = steps + jnp.where(fresh, 1, 0)
+
+                moved = adv_resume | advance
+                t = jnp.where(moved, t + step_scale * dist, t)
+                # Reference re-checks `t <= RayTCurrent()` before the next
+                # eval.
+                done = done | (moved & (t > t_max))
+                paused = paused | newly_paused
+                resume = resume & ~adv_resume
+            return t, steps, done, paused, t_hit
+
+        _, _, _, _, t_hit = jax.lax.while_loop(
+            cond, body, (t0, steps0, done0, paused0, t_hit0)
         )
-        paused = paused & ~done  # invalid-crossing lanes remain paused
 
-        marching = ~done
-        pos = origins + t[..., None] * directions
-        dist = distance_fn(pos)
+        hit = jnp.isfinite(t_hit)
+        pos_hit = origins + t_hit[..., None] * directions
+        # Recompute the normal at the accepted position (masked to avoid
+        # nan/inf positions on miss lanes).
+        safe_pos = jnp.where(hit[..., None], pos_hit, jnp.zeros_like(pos_hit))
+        normal = calculate_normal(safe_pos, distance_fn)
+        return hit, jnp.where(hit, t_hit, jnp.inf), normal
 
-        # Resumed lanes (paused, found invalid above) take the step the
-        # reference takes AFTER its failed validity check: t += scale*dist
-        # with dist evaluated at the crossing point. Their crossing eval was
-        # already counted when they paused, so no step increment here.
-        resumed = marching & paused
-
-        # Fresh lanes evaluate the SDF once == one reference loop iteration;
-        # `i++ < MaxSteps` means only lanes with steps < max may evaluate.
-        can_eval = marching & ~paused & (steps < max_steps)
-        out_of_steps = marching & ~paused & (steps >= max_steps)
-        done = done | out_of_steps
-
-        crossed = dist <= SDF_HIT_THRESHOLD * t
-        newly_paused = can_eval & crossed
-        advance = can_eval & ~crossed
-        steps = steps + jnp.where(can_eval, 1, 0)
-
-        moved = resumed | advance
-        t = jnp.where(moved, t + step_scale * dist, t)
-        # Reference re-checks `t <= RayTCurrent()` before the next eval.
-        done = done | (moved & (t > t_max))
-        paused = newly_paused
-        return t, steps, done, paused, t_hit
-
-    _, _, _, _, t_hit = jax.lax.while_loop(
-        cond, body, (t0, steps0, done0, paused0, t_hit0)
-    )
-
-    hit = jnp.isfinite(t_hit)
-    pos_hit = origins + t_hit[..., None] * directions
-    # Recompute the normal at the accepted position (masked to avoid nan/inf
-    # positions on miss lanes).
-    safe_pos = jnp.where(hit[..., None], pos_hit, jnp.zeros_like(pos_hit))
-    normal = calculate_normal(safe_pos, distance_fn)
-    return hit, jnp.where(hit, t_hit, jnp.inf), normal
+    return _chunked(trace_batch, origins, directions, active, chunk_size)

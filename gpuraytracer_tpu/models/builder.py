@@ -1,0 +1,169 @@
+"""Generic scene builder — compose arbitrary procedural scenes.
+
+The reference hardcodes one scene in Renderer::initialize_scene /
+build_procedural_geometry_aabbs (Renderer.cpp:197-287, 484-536). The
+builder exposes the same ingredients (instances with AABB placement,
+per-instance material + transform spec, camera, light, optional ground
+plane) as a composable API, producing the same Scene structure the
+wavefront tracer consumes. The five BASELINE.json benchmark configs in
+models/scenes.py are built with it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpuraytracer_tpu.accel.instances import Scene, SceneArrays, SceneLayout
+from gpuraytracer_tpu.core.camera import Camera
+from gpuraytracer_tpu.core.types import (
+    InstanceTransforms,
+    IntersectorKind,
+    MaterialTable,
+    make_scene_constants,
+)
+from gpuraytracer_tpu.models import builtin
+
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    """PrimitiveConstantBuffer fields with the reference's defaults
+    (Renderer.cpp:203-205)."""
+
+    albedo: Tuple[float, float, float, float]
+    reflectance: float = 0.0
+    diffuse: float = 0.9
+    specular: float = 0.7
+    specular_power: float = 50.0
+    step_scale: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class InstanceSpec:
+    kind: IntersectorKind
+    prim_type: int
+    aabb_min: Tuple[float, float, float]
+    aabb_max: Tuple[float, float, float]
+    material: Material
+    scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    rotates: bool = False
+    rotation_rate: float = builtin.ROTATION_RATE  # rad/s about +Y
+
+
+class SceneBuilder:
+    def __init__(self):
+        self._instances: List[InstanceSpec] = []
+        self.camera: Camera = builtin.default_camera()
+        self.light_position = builtin.LIGHT_POSITION
+        self.light_ambient = builtin.LIGHT_AMBIENT
+        self.light_diffuse = builtin.LIGHT_DIFFUSE
+        self.plane_material: Optional[Material] = Material(
+            (0.9, 0.9, 0.9, 1.0), 0.25, 1.0, 0.4, 50.0, 1.0
+        )
+        self.plane_origin = builtin.PLANE_ORIGIN
+        self.plane_size = builtin.PLANE_SIZE
+        self.blas_offset = builtin.BLAS_OFFSET
+
+    def add_instance(self, spec: InstanceSpec) -> "SceneBuilder":
+        self._instances.append(spec)
+        return self
+
+    def without_plane(self) -> "SceneBuilder":
+        self.plane_material = None
+        return self
+
+    @property
+    def layout(self) -> SceneLayout:
+        return SceneLayout(
+            kinds=tuple(s.kind for s in self._instances),
+            prim_types=tuple(int(s.prim_type) for s in self._instances),
+            has_plane=self.plane_material is not None,
+        )
+
+    def _material_table(self) -> MaterialTable:
+        mats = [s.material for s in self._instances]
+        if self.plane_material is not None:
+            mats = mats + [self.plane_material]
+        return MaterialTable(
+            albedo=jnp.asarray([m.albedo for m in mats], dtype=jnp.float32),
+            reflectance_coefficient=jnp.asarray([m.reflectance for m in mats], dtype=jnp.float32),
+            diffuse_coefficient=jnp.asarray([m.diffuse for m in mats], dtype=jnp.float32),
+            specular_coefficient=jnp.asarray([m.specular for m in mats], dtype=jnp.float32),
+            specular_power=jnp.asarray([m.specular_power for m in mats], dtype=jnp.float32),
+            step_scale=jnp.asarray([m.step_scale for m in mats], dtype=jnp.float32),
+        )
+
+    def _transforms(self, elapsed_time) -> InstanceTransforms:
+        t = jnp.asarray(elapsed_time, dtype=jnp.float32)
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        l2b_rows, b2l_rows = [], []
+        for s in self._instances:
+            if s.rotates:
+                theta = s.rotation_rate * t
+                c, sn = jnp.cos(theta), jnp.sin(theta)
+                rot = jnp.stack(
+                    [
+                        jnp.stack([c, jnp.zeros_like(c), sn]),
+                        jnp.asarray([0.0, 1.0, 0.0], dtype=jnp.float32),
+                        jnp.stack([-sn, jnp.zeros_like(c), c]),
+                    ]
+                )
+                rot_inv = rot.T
+            else:
+                rot = eye3
+                rot_inv = eye3
+            scale = jnp.asarray(s.scale, dtype=jnp.float32)
+            a = rot * scale
+            a_inv = rot_inv / scale[:, None]
+            center = (
+                jnp.asarray(s.aabb_min, dtype=jnp.float32)
+                + jnp.asarray(s.aabb_max, dtype=jnp.float32)
+            ) * 0.5
+            l2b = jnp.zeros((4, 4), dtype=jnp.float32)
+            l2b = l2b.at[:3, :3].set(a).at[:3, 3].set(center).at[3, 3].set(1.0)
+            b2l = jnp.zeros((4, 4), dtype=jnp.float32)
+            b2l = (
+                b2l.at[:3, :3].set(a_inv).at[:3, 3].set(-(a_inv @ center)).at[3, 3].set(1.0)
+            )
+            l2b_rows.append(l2b)
+            b2l_rows.append(b2l)
+        return InstanceTransforms(
+            local_to_blas=jnp.stack(l2b_rows), blas_to_local=jnp.stack(b2l_rows)
+        )
+
+    def build(self, aspect: float, elapsed_time=0.0) -> Scene:
+        if not self._instances:
+            raise ValueError("scene has no instances")
+        constants = make_scene_constants(
+            projection_to_world=self.camera.projection_to_world(aspect).astype(np.float32),
+            camera_position=tuple(self.camera.eye) + (1.0,),
+            light_position=self.light_position,
+            light_ambient_color=self.light_ambient,
+            light_diffuse_color=self.light_diffuse,
+            elapsed_time=elapsed_time,
+        )
+        arrays = SceneArrays(
+            constants=constants,
+            materials=self._material_table(),
+            transforms=self._transforms(elapsed_time),
+            aabb_min=jnp.asarray([s.aabb_min for s in self._instances], dtype=jnp.float32),
+            aabb_max=jnp.asarray([s.aabb_max for s in self._instances], dtype=jnp.float32),
+            blas_offset=jnp.asarray(self.blas_offset, dtype=jnp.float32),
+            plane_origin=jnp.asarray(self.plane_origin, dtype=jnp.float32),
+            plane_size=jnp.asarray(self.plane_size, dtype=jnp.float32),
+        )
+        return Scene(layout=self.layout, arrays=arrays)
+
+
+def grid_cell_aabb(ix: int, iz: int, size=(2.0, 2.0, 2.0), grid=(4, 1, 4)):
+    """AABB placement on the reference's 4x1x4 grid (Renderer.cpp:490-504)."""
+    base = tuple(
+        -(n * builtin.AABB_WIDTH + (n - 1) * builtin.AABB_DISTANCE) / 2.0 for n in grid
+    )
+    stride = builtin.AABB_WIDTH + builtin.AABB_DISTANCE
+    mn = (base[0] + ix * stride, base[1], base[2] + iz * stride)
+    mx = tuple(mn[k] + size[k] for k in range(3))
+    return mn, mx

@@ -48,7 +48,7 @@ def analytical_checkers(
 ):
     """AnalyticalCheckersTexture: uv = hit.xz, differentials from
     neighbor-pixel camera rays intersected with the tangent plane."""
-    uv = hit_position[..., [0, 2]]
+    uv = jnp.stack([hit_position[..., 0], hit_position[..., 2]], axis=-1)
 
     ox, dx_dir = cam.generate_camera_rays(
         pixel_x + 1, pixel_y, width, height, camera_position, projection_to_world
@@ -63,6 +63,8 @@ def analytical_checkers(
         den = hlsl.dot(d, surface_normal, keepdims=True)
         return o - d * (num / den)
 
-    ddx_uv = plane_project(ox, dx_dir)[..., [0, 2]] - uv
-    ddy_uv = plane_project(oy, dy_dir)[..., [0, 2]] - uv
+    px_pos = plane_project(ox, dx_dir)
+    ddx_uv = jnp.stack([px_pos[..., 0], px_pos[..., 2]], axis=-1) - uv
+    py_pos = plane_project(oy, dy_dir)
+    ddy_uv = jnp.stack([py_pos[..., 0], py_pos[..., 2]], axis=-1) - uv
     return checkers_box_filter(uv, ddx_uv, ddy_uv, CHECKERS_RATIO)
