@@ -82,6 +82,20 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             active=gate,
         )
     elif kind == IntersectorKind.SIGNED_DISTANCE:
+        # On TPU, route the march through the Pallas per-tile megakernel
+        # (kernels/megakernel.py) — each (8,128)-pixel tile early-exits on
+        # its own slowest ray and skips gated-out geometry entirely. The
+        # XLA wavefront path is the portable reference implementation.
+        from gpuraytracer_tpu.kernels import megakernel
+
+        if megakernel.pallas_available() and o_loc.ndim == 3:
+            t_max_arr = jnp.broadcast_to(
+                jnp.asarray(t_max, dtype=o_loc.dtype), o_loc.shape[:-1]
+            )
+            return megakernel.sphere_trace_tiles(
+                o_loc, d_loc, gate, t_max_arr, step_scale,
+                prim_code=int(prim_type), cull_backface=cull,
+            )
         distance_fn = sdf.DISTANCE_FUNCTIONS[int(prim_type)]
         return sdf.sphere_trace(
             o_loc,
@@ -126,11 +140,17 @@ def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_
         best_id = jnp.where(hit_p, layout.plane_geometry_id, best_id)
 
     # --- procedural instances (static unroll; P == 10 for the builtin scene) ---
+    # Each geometry sees t_max shrunk to the best hit found so far — the
+    # DXR RayTCurrent-shrinks-during-traversal behavior. Closest-hit-wins is
+    # order independent, so the final image is identical to independent
+    # full-range tests; the marchers just escape (t > RayTCurrent) orders of
+    # magnitude sooner once the plane (tested first) bounds t.
     o_blas, d_blas = ray_to_blas(origins, directions, arrays.blas_offset)
     for i, (kind, prim_type) in enumerate(zip(layout.kinds, layout.prim_types)):
+        running_t_max = jnp.minimum(t_max, best_t)
         gate = analytic.aabb_hit_mask(
             o_blas, d_blas, arrays.aabb_min[i], arrays.aabb_max[i],
-            t_min=t_min, t_max=t_max,
+            t_min=t_min, t_max=running_t_max,
         ) & active
         o_loc, d_loc = ray_to_local(o_blas, d_blas, arrays.transforms.blas_to_local[i])
         hit_i, t_i, n_loc = _dispatch_procedural(
@@ -139,7 +159,7 @@ def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_
             o_loc,
             d_loc,
             t_min=t_min,
-            t_max=t_max,
+            t_max=running_t_max,
             cull=cull_backface,
             step_scale=arrays.materials.step_scale[i],
             elapsed_time=arrays.constants.elapsed_time,

@@ -87,7 +87,10 @@ def intersect_spheres(origins, directions, *, t_min, t_max, cull_backface):
     """RaySpheresIntersectionTest (hlsli:119-153): three hollow spheres,
     closest valid hit wins (thit initialized to RayTCurrent)."""
     batch = origins.shape[:-1]
-    best_t = jnp.full(batch, t_max, dtype=origins.dtype)
+    # t_max may be per-ray (the shrinking RayTCurrent analog).
+    best_t = jnp.broadcast_to(
+        jnp.asarray(t_max, dtype=origins.dtype), batch
+    ).astype(origins.dtype)
     best_n = jnp.zeros(origins.shape, dtype=origins.dtype)
     found = jnp.zeros(batch, dtype=bool)
     for center, radius in zip(SPHERE_CENTERS, SPHERE_RADII):

@@ -162,10 +162,14 @@ def intersect_metaballs(
         unroll = _sdf.DEFAULT_UNROLL
     if active is None:
         active = (origins[..., 0] + directions[..., 0]) * 0.0 > -1.0
+    # Per-ray t_max (the shrinking RayTCurrent analog): scalar broadcasts.
+    t_max = jnp.broadcast_to(
+        jnp.asarray(t_max, dtype=origins.dtype), origins.shape[:-1]
+    )
 
     centers, radii = animated_metaballs(elapsed_time)
 
-    def trace_batch(origins, directions, active):
+    def trace_batch(origins, directions, active, t_max):
         zero = (origins[..., 0] + directions[..., 0]) * 0.0
         tmin, tmax = find_intersecting_metaballs(
             origins, directions, centers, radii, t_min, t_max
@@ -239,4 +243,9 @@ def intersect_metaballs(
         normal = metaballs_normal(safe, centers, radii)
         return hit, jnp.where(hit, t_hit, jnp.inf), normal
 
-    return _chunked(trace_batch, origins, directions, active, chunk_size)
+    return _chunked(
+        trace_batch,
+        (origins, directions, active, t_max),
+        (0.0, 1.0, False, 0.0),
+        chunk_size,
+    )

@@ -33,7 +33,12 @@ from gpuraytracer_tpu.core.types import (
 # fixed-size chunks, each with its own early-exiting while loop, taking
 # `unroll` march micro-steps per iteration. Module-level so benchmarks and
 # deployments can retune without threading parameters everywhere.
-DEFAULT_CHUNK_SIZE: int | None = 4096
+# Sweep result (TPU v5e, 640x360 builtin scene): the monolithic batch with
+# 8 unrolled micro-steps beats 4096-lane chunks — lax.map's sequential
+# chunk overhead outweighs chunk-level skipping at XLA level. Chunking
+# stays available for the Pallas tile path and for hosts where one
+# pathological lane must not stall the full batch.
+DEFAULT_CHUNK_SIZE: int | None = None
 DEFAULT_UNROLL: int = 8
 
 # ---------------------------------------------------------------------------
@@ -277,7 +282,7 @@ def calculate_normal(pos, distance_fn):
     return hlsl.normalize(n)
 
 
-def _chunked(batch_fn, origins, directions, active, chunk_size):
+def _chunked(batch_fn, per_lane_args, fills, chunk_size):
     """Run a per-lane-independent wavefront loop in fixed-size chunks via
     lax.map, so each chunk's while_loop terminates on ITS slowest lane
     rather than the global batch's. Chunks whose gate mask is empty exit
@@ -285,14 +290,17 @@ def _chunked(batch_fn, origins, directions, active, chunk_size):
     region, most chunks skip most geometries. This is the XLA-level form of
     the Pallas per-tile megakernel (kernels/ carries the tile version).
 
-    batch_fn: (o, d, active) -> pytree of (chunk, ...) results.
+    batch_fn(*per_lane_args) -> pytree of (chunk, ...) results. The first
+    arg must be the (.., 3) origins array (defines the batch shape); `fills`
+    supplies padding values per arg.
     """
+    origins = per_lane_args[0]
     batch_shape = origins.shape[:-1]
     n = 1
     for s in batch_shape:
         n *= s
     if chunk_size is None or n <= chunk_size:
-        return batch_fn(origins, directions, active)
+        return batch_fn(*per_lane_args)
 
     pad = (-n) % chunk_size
     c = (n + pad) // chunk_size
@@ -304,11 +312,8 @@ def _chunked(batch_fn, origins, directions, active, chunk_size):
             x = jnp.pad(x, pad_widths, constant_values=fill)
         return x.reshape((c, chunk_size) + x.shape[1:])
 
-    o = flat(origins, 0.0)
-    d = flat(directions, 1.0)
-    a = flat(active, False)
-
-    outs = jax.lax.map(lambda args: batch_fn(*args), (o, d, a))
+    chunked_args = tuple(flat(x, f) for x, f in zip(per_lane_args, fills))
+    outs = jax.lax.map(lambda args: batch_fn(*args), chunked_args)
 
     def unflat(x):
         x = x.reshape((c * chunk_size,) + x.shape[2:])
@@ -362,8 +367,12 @@ def sphere_trace(
     if active is None:
         # Varying like the rays (see _chunked docstring / shard_map VMA).
         active = (origins[..., 0] + directions[..., 0]) * 0.0 > -1.0
+    # Per-ray t_max (the shrinking RayTCurrent analog): scalar broadcasts.
+    t_max = jnp.broadcast_to(
+        jnp.asarray(t_max, dtype=origins.dtype), origins.shape[:-1]
+    )
 
-    def trace_batch(origins, directions, active):
+    def trace_batch(origins, directions, active, t_max):
         zero = (origins[..., 0] + directions[..., 0]) * 0.0
         t0 = zero + t_min
         steps0 = zero.astype(jnp.int32)
@@ -446,4 +455,9 @@ def sphere_trace(
         normal = calculate_normal(safe_pos, distance_fn)
         return hit, jnp.where(hit, t_hit, jnp.inf), normal
 
-    return _chunked(trace_batch, origins, directions, active, chunk_size)
+    return _chunked(
+        trace_batch,
+        (origins, directions, active, t_max),
+        (0.0, 1.0, False, 0.0),
+        chunk_size,
+    )
