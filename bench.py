@@ -27,8 +27,21 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: in
     from gpuraytracer_tpu.models import builtin
     from gpuraytracer_tpu.render import trace
 
+    import jax.numpy as jnp
+
+    from gpuraytracer_tpu.accel.instances import Scene
+
     scene0 = builtin.build_scene(aspect=width / height, elapsed_time=0.0)
-    render = trace.make_renderer(scene0.layout, width, height)
+    layout = scene0.layout
+
+    @jax.jit
+    def render(arrays):
+        img = trace.render_frame(Scene(layout, arrays), width, height)
+        # Scalar checksum forces the device computation to complete before
+        # the host timestamp (block_until_ready alone does not synchronize
+        # on remote-plugin backends) while transferring only 4 bytes — the
+        # DispatchRays GPU-timer bracket analog.
+        return jnp.sum(img)
 
     # Animated frames, like the reference's default run (geometry animation
     # on): rebuild the per-frame scene arrays host-side, render on device.
@@ -39,8 +52,7 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: in
     for i in range(warmup + frames):
         arrays = arrays_at(0.033 * i)
         t0 = time.perf_counter()
-        img = render(arrays)
-        jax.block_until_ready(img)
+        float(render(arrays))
         dt = time.perf_counter() - t0
         if i >= warmup:
             frame_times.append(dt)

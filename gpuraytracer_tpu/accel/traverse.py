@@ -110,6 +110,71 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
     raise ValueError(f"no intersector for kind={kind} type={prim_type}")
 
 
+def _scene_kernel_eligible(origins, scene: Scene) -> bool:
+    """The whole-scene Pallas megakernel handles 2-D wavefronts whose
+    geometries are all of kinds it implements (every reference kind)."""
+    from gpuraytracer_tpu.kernels import megakernel
+
+    supported = (
+        IntersectorKind.ANALYTIC,
+        IntersectorKind.VOLUMETRIC,
+        IntersectorKind.SIGNED_DISTANCE,
+    )
+    return (
+        megakernel.pallas_available()
+        and origins.ndim == 3
+        and scene.layout.num_procedural > 0
+        and all(k in supported for k in scene.layout.kinds)
+    )
+
+
+def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max, cull_backface, active):
+    """TPU path: plane in XLA (closed form), everything procedural in ONE
+    Pallas megakernel per pass (kernels/scene_kernel.py)."""
+    from gpuraytracer_tpu.kernels import scene_kernel
+
+    layout, arrays = scene.layout, scene.arrays
+    batch = origins.shape[:-1]
+    f32 = origins.dtype
+
+    if layout.has_plane:
+        hit_p, t_p = intersect_plane(
+            origins, directions, arrays.plane_origin, arrays.plane_size,
+            t_min=t_min, t_max=t_max,
+        )
+        hit_p = hit_p & active
+        t0 = jnp.where(hit_p, t_p, jnp.asarray(t_max, dtype=f32))
+    else:
+        hit_p = jnp.zeros(batch, dtype=bool)
+        t0 = jnp.broadcast_to(jnp.asarray(t_max, dtype=f32), batch)
+
+    o_blas, d_blas = ray_to_blas(origins, directions, arrays.blas_offset)
+    params = scene_kernel.pack_params(arrays, arrays.constants.elapsed_time)
+    geoms = tuple(
+        (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
+    )
+    best_t, normal, gid = scene_kernel.scene_closest_tiles(
+        o_blas, d_blas, active, t0, *params,
+        geoms=geoms, cull_backface=cull_backface,
+    )
+    hit_proc = gid >= 0
+    up = jnp.zeros_like(origins).at[..., 1].set(1.0)
+    geometry_id = jnp.where(
+        hit_proc,
+        gid,
+        jnp.where(hit_p, layout.plane_geometry_id, -1),
+    )
+    hit = geometry_id >= 0
+    t = jnp.where(hit_proc, best_t, jnp.where(hit_p, t0, RAY_TMAX))
+    n = jnp.where(hit_proc[..., None], normal, up)
+    return HitRecord(
+        t=jnp.where(hit, t, RAY_TMAX),
+        normal=jnp.where(hit[..., None], n, jnp.zeros_like(n)),
+        geometry_id=geometry_id,
+        hit=hit,
+    )
+
+
 def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX, cull_backface=True, active=None) -> HitRecord:
     """Global closest hit over plane + all procedural geometries.
 
@@ -122,6 +187,12 @@ def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_
 
     if active is None:
         active = jnp.ones(batch, dtype=bool)
+
+    if _scene_kernel_eligible(origins, scene):
+        return _closest_hit_scene_kernel(
+            origins, directions, scene,
+            t_min=t_min, t_max=t_max, cull_backface=cull_backface, active=active,
+        )
 
     best_t = jnp.full(batch, jnp.inf, dtype=f32)
     best_n = jnp.zeros(origins.shape, dtype=f32)
@@ -192,6 +263,15 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
     batch = origins.shape[:-1]
     if active is None:
         active = jnp.ones(batch, dtype=bool)
+
+    if _scene_kernel_eligible(origins, scene):
+        # Occlusion == "a valid hit exists"; the closest-hit megakernel
+        # answers that directly (hit or plane).
+        rec = _closest_hit_scene_kernel(
+            origins, directions, scene,
+            t_min=t_min, t_max=t_max, cull_backface=True, active=active,
+        )
+        return rec.hit & active
 
     occluded = jnp.zeros(batch, dtype=bool)
 

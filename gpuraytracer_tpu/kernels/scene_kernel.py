@@ -1,0 +1,375 @@
+"""Whole-scene traversal megakernel.
+
+One Pallas kernel per traversal pass: every (8,128)-pixel tile walks ALL
+procedural geometries in-register — in-kernel AABB gating, local-space
+transform from SMEM matrix rows, the per-kind intersector (SDF two-phase
+march / metaball fixed-step march / analytic closed forms), and a running
+closest-hit reduction whose best_t doubles as the shrinking RayTCurrent
+for every later geometry (per-TILE, sharper than the XLA path's per-frame
+chaining).
+
+vs the per-geometry kernels (megakernel.py): rays are DMA'd once per pass
+instead of once per geometry, per-tile fixed costs are paid once, and a
+tile whose best_t is already closer than a geometry's AABB entry skips
+that geometry outright.
+
+The plane (triangle geometry) stays in XLA — it is closed-form elementwise
+— and enters as the initial t bound (t0); accel/traverse.py merges ids.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpuraytracer_tpu.core.types import (
+    IntersectorKind,
+    METABALL_ISO_THRESHOLD,
+    METABALL_MAX_STEPS,
+    SDF_HIT_THRESHOLD,
+    SDF_MAX_STEPS,
+    AnalyticPrimitive,
+)
+from gpuraytracer_tpu.kernels import soa
+from gpuraytracer_tpu.kernels.soa import V3
+
+TILE_ROWS = 8
+TILE_COLS = 128
+_NORMAL_EPS = 0.5773 * 0.0001
+_MB_NORMAL_EPS = 0.5773 * 0.00001
+
+
+def _normal_at(distance_fn, p: V3) -> V3:
+    e = _NORMAL_EPS
+    d1 = distance_fn(V3(p.x + e, p.y - e, p.z - e))
+    d2 = distance_fn(V3(p.x - e, p.y - e, p.z + e))
+    d3 = distance_fn(V3(p.x - e, p.y + e, p.z - e))
+    d4 = distance_fn(V3(p.x + e, p.y + e, p.z + e))
+    return V3(
+        e * d1 - e * d2 - e * d3 + e * d4,
+        -e * d1 - e * d2 + e * d3 + e * d4,
+        -e * d1 + e * d2 - e * d3 + e * d4,
+    ).normalized()
+
+
+def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=8,
+               max_steps=SDF_MAX_STEPS):
+    """Two-phase pause/check sphere trace over one tile (see
+    megakernel._tile_march_kernel for the semantics notes)."""
+    inf = jnp.float32(jnp.inf)
+    zero = o.x * 0.0
+    izero = zero.astype(jnp.int32)
+    state0 = (zero, izero, jnp.where(gate, izero, izero + 1), izero, zero + inf)
+
+    def cond(state):
+        _, _, done_i, _, _ = state
+        return jnp.any(done_i == 0)
+
+    def body(state):
+        t, steps, done_i, paused_i, t_hit = state
+        done = done_i != 0
+        paused = paused_i != 0
+
+        pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+        n = _normal_at(distance_fn, pos)
+        facing_ok = d.dot(n) <= 0.0
+        in_range = (t >= 0.0) & (t <= t_max)
+        valid = paused & facing_ok & in_range
+        t_hit = jnp.where(valid, t, t_hit)
+        done = done | valid
+
+        resume = paused & ~done
+        paused = paused & ~paused
+
+        for _ in range(unroll):
+            marching = ~done & ~paused
+            pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+            dist = distance_fn(pos)
+            adv_resume = marching & resume
+            fresh = marching & ~resume & (steps < max_steps)
+            done = done | (marching & ~resume & (steps >= max_steps))
+            crossed = dist <= SDF_HIT_THRESHOLD * t
+            newly_paused = fresh & crossed
+            advance = fresh & ~crossed
+            steps = steps + jnp.where(fresh, 1, 0)
+            moved = adv_resume | advance
+            t = jnp.where(moved, t + step_scale * dist, t)
+            done = done | (moved & (t > t_max))
+            paused = paused | newly_paused
+            resume = resume & ~adv_resume
+        return t, steps, done.astype(jnp.int32), paused.astype(jnp.int32), t_hit
+
+    _, _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
+    hit = t_hit < inf
+    pos = V3(o.x + t_hit * d.x, o.y + t_hit * d.y, o.z + t_hit * d.z)
+    safe = V3(jnp.where(hit, pos.x, 0.0), jnp.where(hit, pos.y, 0.0), jnp.where(hit, pos.z, 0.0))
+    return hit, t_hit, _normal_at(distance_fn, safe)
+
+
+def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=8,
+                     max_steps=METABALL_MAX_STEPS):
+    """Fixed-step isosurface march (VolumetricPrimitives.hlsli:151-202)
+    over one tile. balls: tuple of 3 (cx, cy, cz, r) scalar tuples."""
+    inf = jnp.float32(jnp.inf)
+    zero = o.x * 0.0
+
+    def potential(p: V3):
+        total = p.x * 0.0
+        for cx, cy, cz, r in balls:
+            total = total + soa.metaball_potential_soa(p, cx, cy, cz, r)
+        return total
+
+    def normal_at(p: V3) -> V3:
+        e = _MB_NORMAL_EPS
+        return V3(
+            potential(V3(p.x - e, p.y, p.z)) - potential(V3(p.x + e, p.y, p.z)),
+            potential(V3(p.x, p.y - e, p.z)) - potential(V3(p.x, p.y + e, p.z)),
+            potential(V3(p.x, p.y, p.z - e)) - potential(V3(p.x, p.y, p.z + e)),
+        ).normalized()
+
+    # Bounding-sphere interval union clipped per-sphere to [0, t_max]
+    # (hlsli:124-147 + AnalyticPrimitives solid-sphere clip).
+    tmin = zero + inf
+    tmax_u = zero - inf
+    for cx, cy, cz, r in balls:
+        has, t0, t1 = soa.solve_sphere(o, d, cx, cy, cz, r)
+        tmin = jnp.where(has, jnp.minimum(jnp.maximum(t0, 0.0), tmin), tmin)
+        tmax_u = jnp.where(has, jnp.maximum(jnp.minimum(t1, t_max), tmax_u), tmax_u)
+    tmin = jnp.maximum(tmin, 0.0)
+    tmax_u = jnp.minimum(tmax_u, t_max)
+    step = (tmax_u - tmin) / float(max_steps)
+
+    izero = zero.astype(jnp.int32)
+    state0 = (tmin, izero, jnp.where(gate, izero, izero + 1), izero, zero + inf)
+
+    def cond(state):
+        _, _, done_i, _, _ = state
+        return jnp.any(done_i == 0)
+
+    def body(state):
+        t, steps, done_i, paused_i, t_hit = state
+        done = done_i != 0
+        paused = paused_i != 0
+
+        pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+        n = normal_at(pos)
+        facing_ok = d.dot(n) <= 0.0
+        in_range = (t >= 0.0) & (t <= t_max)
+        valid = paused & facing_ok & in_range
+        t_hit = jnp.where(valid, t, t_hit)
+        done = done | valid
+
+        resume = paused & ~done
+        paused = paused & ~paused
+
+        for _ in range(unroll):
+            marching = ~done & ~paused
+            pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+            total = potential(pos)
+            adv_resume = marching & resume
+            fresh = marching & ~resume & (steps < max_steps)
+            done = done | (marching & ~resume & (steps >= max_steps))
+            crossed = total >= METABALL_ISO_THRESHOLD
+            newly_paused = fresh & crossed
+            advance = fresh & ~crossed
+            steps = steps + jnp.where(fresh, 1, 0)
+            t = jnp.where(adv_resume | advance, t + step, t)
+            paused = paused | newly_paused
+            resume = resume & ~adv_resume
+        return t, steps, done.astype(jnp.int32), paused.astype(jnp.int32), t_hit
+
+    _, _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
+    hit = t_hit < inf
+    pos = V3(o.x + t_hit * d.x, o.y + t_hit * d.y, o.z + t_hit * d.z)
+    safe = V3(jnp.where(hit, pos.x, 0.0), jnp.where(hit, pos.y, 0.0), jnp.where(hit, pos.z, 0.0))
+    return hit, t_hit, normal_at(safe)
+
+
+def _scene_kernel(
+    geoms: Tuple[Tuple[int, int], ...],
+    cull_backface: bool,
+    # refs
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    active_ref, t0_ref,
+    b2l_ref,  # (G, 12) SMEM: blas->local rows
+    l2b_ref,  # (G, 9) SMEM: local->blas rotation rows (normal transform)
+    sscale_ref,  # (G, 1) SMEM step scales
+    aabb_ref,  # (G, 6) SMEM: min xyz, max xyz (BLAS space)
+    mb_ref,  # (3, 4) SMEM: metaball centers + radii
+    thit_ref, nx_ref, ny_ref, nz_ref, gid_ref,
+):
+    o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
+    d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
+    active = active_ref[:] != 0
+    best_t = t0_ref[:]
+
+    zero = o.x * 0.0
+    best_nx, best_ny, best_nz = zero, zero, zero
+    best_id = zero.astype(jnp.int32) - 1
+
+    for g, (kind, code) in enumerate(geoms):
+        # In-kernel slab gate against this geometry's BLAS-space AABB,
+        # bounded by the tile's current best_t (shrinking RayTCurrent).
+        tmin_g, tmax_g = soa.aabb_interval(
+            o, d,
+            aabb_ref[g, 0], aabb_ref[g, 1], aabb_ref[g, 2],
+            aabb_ref[g, 3], aabb_ref[g, 4], aabb_ref[g, 5],
+        )
+        gate = (
+            (tmax_g > tmin_g) & (tmax_g >= 0.0) & (tmin_g <= best_t) & active
+        )
+
+        # BLAS -> unit-AABB local space (Raytracing.hlsl:277-287), matrix
+        # rows as SMEM scalars.
+        def row(ref, r, vx, vy, vz, base=0, w=None):
+            out = ref[g, base + 4 * r + 0] * vx + ref[g, base + 4 * r + 1] * vy + ref[g, base + 4 * r + 2] * vz
+            if w is not None:
+                out = out + ref[g, base + 4 * r + 3]
+            return out
+
+        o_loc = V3(
+            row(b2l_ref, 0, o.x, o.y, o.z, w=1),
+            row(b2l_ref, 1, o.x, o.y, o.z, w=1),
+            row(b2l_ref, 2, o.x, o.y, o.z, w=1),
+        )
+        d_loc = V3(
+            row(b2l_ref, 0, d.x, d.y, d.z),
+            row(b2l_ref, 1, d.x, d.y, d.z),
+            row(b2l_ref, 2, d.x, d.y, d.z),
+        )
+
+        if kind == int(IntersectorKind.SIGNED_DISTANCE):
+            distance_fn = soa.DISTANCE_FUNCTIONS_SOA[int(code)]
+            hit, t, n_loc = _march_sdf(
+                distance_fn, o_loc, d_loc, gate, best_t, sscale_ref[g, 0]
+            )
+        elif kind == int(IntersectorKind.VOLUMETRIC):
+            balls = tuple(
+                (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
+                for j in range(3)
+            )
+            hit, t, n_loc = _march_metaballs(o_loc, d_loc, gate, best_t, balls)
+        elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.AABB):
+            hit, t, n_loc = soa.intersect_hollow_aabb(
+                o_loc, d_loc, 0.0, best_t, cull_backface
+            )
+        elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.SPHERES):
+            hit, t, n_loc = soa.intersect_spheres(
+                o_loc, d_loc, 0.0, best_t, cull_backface
+            )
+        else:
+            raise ValueError(f"unsupported geometry kind={kind} code={code}")
+
+        # local -> BLAS(-> world, identity rotation) normal, straight-matrix
+        # like the reference (Raytracing.hlsl:298-301), then normalize.
+        nwx = l2b_ref[g, 0] * n_loc.x + l2b_ref[g, 1] * n_loc.y + l2b_ref[g, 2] * n_loc.z
+        nwy = l2b_ref[g, 3] * n_loc.x + l2b_ref[g, 4] * n_loc.y + l2b_ref[g, 5] * n_loc.z
+        nwz = l2b_ref[g, 6] * n_loc.x + l2b_ref[g, 7] * n_loc.y + l2b_ref[g, 8] * n_loc.z
+        inv = 1.0 / jnp.sqrt(jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30))
+
+        closer = hit & gate & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_nx = jnp.where(closer, nwx * inv, best_nx)
+        best_ny = jnp.where(closer, nwy * inv, best_ny)
+        best_nz = jnp.where(closer, nwz * inv, best_nz)
+        best_id = jnp.where(closer, g, best_id)
+
+    thit_ref[:] = best_t
+    nx_ref[:] = best_nx
+    ny_ref[:] = best_ny
+    nz_ref[:] = best_nz
+    gid_ref[:] = best_id
+
+
+@functools.partial(jax.jit, static_argnames=("geoms", "cull_backface", "interpret"))
+def scene_closest_tiles(
+    o_blas,  # (H, W, 3)
+    d_blas,  # (H, W, 3)
+    active,  # (H, W) bool
+    t0,  # (H, W) f32 — initial upper bound (plane hit t or RAY_TMAX)
+    b2l_rows,  # (G, 12) f32
+    l2b_rot,  # (G, 9) f32
+    step_scales,  # (G,) f32
+    aabbs,  # (G, 6) f32
+    mb_params,  # (3, 4) f32 (centers + radii; zeros if unused)
+    *,
+    geoms: Tuple[Tuple[int, int], ...],
+    cull_backface: bool = True,
+    interpret: bool = False,
+):
+    """Returns (best_t, normal (H,W,3), geom_id (H,W) int32; -1 where no
+    procedural hit beat t0)."""
+    h, w = active.shape
+    ph = (-h) % TILE_ROWS
+    pw = (-w) % TILE_COLS
+
+    def pad2(x, fill):
+        if ph or pw:
+            x = jnp.pad(x, ((0, ph), (0, pw)), constant_values=fill)
+        return x
+
+    planes = [
+        pad2(o_blas[..., 0], 0.0), pad2(o_blas[..., 1], 0.0), pad2(o_blas[..., 2], 0.0),
+        pad2(d_blas[..., 0], 1.0), pad2(d_blas[..., 1], 0.0), pad2(d_blas[..., 2], 0.0),
+        pad2(active.astype(jnp.int32), 0),
+        pad2(t0.astype(jnp.float32), 0.0),
+    ]
+    hp, wp = h + ph, w + pw
+    grid = (hp // TILE_ROWS, wp // TILE_COLS)
+
+    tile_spec = pl.BlockSpec((TILE_ROWS, TILE_COLS), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+
+    g = len(geoms)
+    kernel = functools.partial(_scene_kernel, tuple(geoms), cull_backface)
+    f32 = jnp.float32
+    thit, nx, ny, nz, gid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec] * 8 + [
+            smem((g, 12)), smem((g, 9)), smem((g, 1)), smem((g, 6)), smem((3, 4)),
+        ],
+        out_specs=[tile_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), f32),
+            jax.ShapeDtypeStruct((hp, wp), f32),
+            jax.ShapeDtypeStruct((hp, wp), f32),
+            jax.ShapeDtypeStruct((hp, wp), f32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        *planes,
+        b2l_rows.astype(f32),
+        l2b_rot.astype(f32),
+        step_scales.astype(f32).reshape(g, 1),
+        aabbs.astype(f32),
+        mb_params.astype(f32),
+    )
+
+    normal = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+    return thit[:h, :w], normal, gid[:h, :w]
+
+
+def pack_params(arrays, elapsed_time):
+    """Build the SMEM parameter blocks from SceneArrays (traced)."""
+    from gpuraytracer_tpu.geometry import metaballs as mb
+
+    b2l = arrays.transforms.blas_to_local  # (G, 4, 4) column-convention
+    l2b = arrays.transforms.local_to_blas
+    g = b2l.shape[0]
+    b2l_rows = b2l[:, :3, :].reshape(g, 12)
+    l2b_rot = l2b[:, :3, :3].reshape(g, 9)
+    aabbs = jnp.concatenate([arrays.aabb_min, arrays.aabb_max], axis=-1)
+    centers, radii = mb.animated_metaballs(elapsed_time)
+    mb_params = jnp.concatenate([centers, radii[:, None]], axis=-1)  # (3, 4)
+    step_scales = arrays.materials.step_scale[:g]
+    return b2l_rows, l2b_rot, step_scales, aabbs, mb_params

@@ -339,6 +339,152 @@ def distance_julia_quaternion(p: V3):
     return jnp.where(escaped, de, -1e-3) / scale
 
 
+# ---------------------------------------------------------------------------
+# Analytic intersectors (AnalyticPrimitives.hlsli), SoA closed forms
+# ---------------------------------------------------------------------------
+
+SPHERE_CENTERS = ((-0.3, -0.3, -0.3), (0.1, 0.1, 0.4), (0.35, 0.35, 0.0))
+SPHERE_RADII = (0.6, 0.3, 0.15)
+
+
+def solve_sphere(o: V3, d: V3, cx, cy, cz, radius):
+    """Stable quadratic; (has, t0, t1) with t0 <= t1 (hlsli:28-60)."""
+    L = V3(o.x - cx, o.y - cy, o.z - cz)
+    a = d.dot(d)
+    b = 2.0 * d.dot(L)
+    c = L.dot(L) - radius * radius
+    discr = b * b - 4.0 * a * c
+    has = discr >= 0.0
+    sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+    q = jnp.where(b > 0, -0.5 * (b + sq), -0.5 * (b - sq))
+    x0 = q / a
+    x1 = c / q
+    t0 = jnp.minimum(x0, x1)
+    t1 = jnp.maximum(x0, x1)
+    mid = -0.5 * b / a
+    t0 = jnp.where(discr == 0.0, mid, t0)
+    t1 = jnp.where(discr == 0.0, mid, t1)
+    return has, t0, t1
+
+
+def intersect_hollow_sphere(o: V3, d: V3, center, radius, t_min, t_max, cull_backface):
+    """RaySphereIntersectionTest (hlsli:64-100): prefer t0, fall through to
+    t1. Returns (hit, t, normal V3)."""
+    cx, cy, cz = center
+    has, t0, t1 = solve_sphere(o, d, cx, cy, cz, radius)
+
+    def normal(t):
+        return V3(
+            o.x + t * d.x - cx, o.y + t * d.y - cy, o.z + t * d.z - cz
+        ).normalized()
+
+    n0 = normal(t0)
+    n1 = normal(t1)
+
+    def valid(t, n):
+        in_range = (t >= t_min) & (t <= t_max)
+        facing = (d.dot(n) <= 0.0) if cull_backface else in_range | True
+        return in_range & facing
+
+    t0_before = t0 < t_min
+    t1_before = t1 < t_min
+    hit_a = ~t1_before & valid(t1, n1)
+    hit_b0 = valid(t0, n0)
+    hit_b1 = ~hit_b0 & valid(t1, n1)
+    use_a = t0_before
+    # Pure logical ops, not jnp.where on bools — Mosaic cannot legalize the
+    # i8->i1 truncation a boolean select lowers to.
+    hit = has & ((use_a & hit_a) | (~use_a & (hit_b0 | hit_b1)))
+    use_t1 = use_a | hit_b1
+    t = jnp.where(use_t1, t1, t0)
+    n = V3(
+        jnp.where(use_t1, n1.x, n0.x),
+        jnp.where(use_t1, n1.y, n0.y),
+        jnp.where(use_t1, n1.z, n0.z),
+    )
+    return hit, jnp.where(hit, t, jnp.inf), n
+
+
+def intersect_spheres(o: V3, d: V3, t_min, t_max, cull_backface):
+    """RaySpheresIntersectionTest: closest of the 3 hard-coded spheres."""
+    best_t = t_max + (o.x * 0.0)
+    best_n = V3(o.x * 0.0, o.x * 0.0, o.x * 0.0)
+    found = o.x > jnp.inf
+    for center, radius in zip(SPHERE_CENTERS, SPHERE_RADII):
+        hit, t, n = intersect_hollow_sphere(
+            o, d, center, radius, t_min, t_max, cull_backface
+        )
+        closer = hit & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_n = V3(
+            jnp.where(closer, n.x, best_n.x),
+            jnp.where(closer, n.y, best_n.y),
+            jnp.where(closer, n.z, best_n.z),
+        )
+        found = found | closer
+    return found, jnp.where(found, best_t, jnp.inf), best_n
+
+
+def aabb_interval(o: V3, d: V3, mnx, mny, mnz, mxx, mxy, mxz):
+    """Slab test with the reference's inf handling (hlsli:158-188)."""
+    inf = jnp.float32(jnp.inf)
+
+    def axis(ox, dx, mn, mx):
+        invd = jnp.where(dx != 0.0, 1.0 / dx, jnp.where(dx > 0.0, inf, -inf))
+        near = jnp.where(dx > 0.0, mn, mx)
+        far = jnp.where(dx > 0.0, mx, mn)
+        return (near - ox) * invd, (far - ox) * invd
+
+    t0x, t1x = axis(o.x, d.x, mnx, mxx)
+    t0y, t1y = axis(o.y, d.y, mny, mxy)
+    t0z, t1z = axis(o.z, d.z, mnz, mxz)
+    tmin = jnp.maximum(t0x, jnp.maximum(t0y, t0z))
+    tmax = jnp.minimum(t1x, jnp.minimum(t1y, t1z))
+    return tmin, tmax
+
+
+def intersect_hollow_aabb(o: V3, d: V3, t_min, t_max, cull_backface):
+    """Hollow unit AABB with priority-ordered face normals (hlsli:191-219)."""
+    tmin, tmax = aabb_interval(o, d, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+    interval_ok = (tmax > tmin) & (tmax >= t_min) & (tmin <= t_max)
+    entry_ok = (tmin >= t_min) & (tmin <= t_max)
+    t = tmin
+    px, py, pz = o.x + t * d.x, o.y + t * d.y, o.z + t * d.z
+    eps = 0.0001
+    zero = o.x * 0.0
+    nx, ny, nz = zero, zero, zero
+    picked = o.x > jnp.inf
+    for dist, (vx, vy, vz) in (
+        (jnp.abs(-1.0 - px), (-1.0, 0.0, 0.0)),
+        (jnp.abs(-1.0 - py), (0.0, -1.0, 0.0)),
+        (jnp.abs(-1.0 - pz), (0.0, 0.0, -1.0)),
+        (jnp.abs(1.0 - px), (1.0, 0.0, 0.0)),
+        (jnp.abs(1.0 - py), (0.0, 1.0, 0.0)),
+        (jnp.abs(1.0 - pz), (0.0, 0.0, 1.0)),
+    ):
+        take = ~picked & (dist < eps)
+        nx = jnp.where(take, vx, nx)
+        ny = jnp.where(take, vy, ny)
+        nz = jnp.where(take, vz, nz)
+        picked = picked | take
+    n = V3(nx, ny, nz)
+    in_range = (t >= t_min) & (t <= t_max)
+    facing = (d.dot(n) <= 0.0) if cull_backface else in_range | True
+    hit = interval_ok & entry_ok & in_range & facing
+    return hit, jnp.where(hit, t, jnp.inf), n
+
+
+# ---------------------------------------------------------------------------
+# Metaball field (VolumetricPrimitives.hlsli), SoA
+# ---------------------------------------------------------------------------
+
+def metaball_potential_soa(p: V3, cx, cy, cz, radius):
+    dist = V3(p.x - cx, p.y - cy, p.z - cz).length()
+    dr = (radius - dist) / radius
+    val = ((6.0 * dr - 15.0) * dr + 10.0) * dr * dr * dr
+    return jnp.where(dist <= radius, val, 0.0)
+
+
 DISTANCE_FUNCTIONS_SOA = {
     int(SignedDistancePrimitive.MINI_SPHERES): distance_mini_spheres,
     int(SignedDistancePrimitive.INTERSECTED_ROUND_CUBE): distance_intersected_round_cube,

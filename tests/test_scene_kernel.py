@@ -1,0 +1,92 @@
+"""Whole-scene megakernel vs XLA traversal (interpret mode on CPU)."""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuraytracer_tpu.accel import traverse
+from gpuraytracer_tpu.accel.instances import Scene, SceneLayout, ray_to_blas
+from gpuraytracer_tpu.core import camera as cam
+from gpuraytracer_tpu.core.types import RAY_TMAX
+from gpuraytracer_tpu.kernels import scene_kernel
+from gpuraytracer_tpu.models import builtin
+
+W, H = 128, 48
+
+
+@pytest.fixture(scope="module")
+def rays_and_scene():
+    scene = builtin.build_scene(aspect=W / H, elapsed_time=0.7)
+    px, py = cam.pixel_grid(W, H)
+    o, d = cam.generate_camera_rays(
+        px, py, W, H,
+        scene.arrays.constants.camera_position,
+        scene.arrays.constants.projection_to_world,
+    )
+    return o, d, scene
+
+
+def _run_kernel(o, d, scene):
+    arrays = scene.arrays
+    layout = scene.layout
+    active = jnp.ones((H, W), bool)
+    hit_p, t_p = traverse.intersect_plane(
+        o, d, arrays.plane_origin, arrays.plane_size, t_min=0.0, t_max=RAY_TMAX
+    )
+    t0 = jnp.where(hit_p & active, t_p, RAY_TMAX)
+    ob, db = ray_to_blas(o, d, arrays.blas_offset)
+    params = scene_kernel.pack_params(arrays, arrays.constants.elapsed_time)
+    geoms = tuple(
+        (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
+    )
+    return scene_kernel.scene_closest_tiles(
+        ob, db, active, t0, *params, geoms=geoms, interpret=True
+    )
+
+
+def test_matches_xla_traversal(rays_and_scene):
+    o, d, scene = rays_and_scene
+    best_t, normal, gid = _run_kernel(o, d, scene)
+    ref = traverse.closest_hit(o, d, scene)
+
+    gk = np.asarray(gid)
+    gx = np.asarray(ref.geometry_id)
+    gx_proc = np.where(gx == scene.layout.plane_geometry_id, -1, gx)
+    # Knife-edge marcher crossings may flip a pixel; require near-total
+    # agreement, exact t/normal where ids agree.
+    assert (gk == gx_proc).mean() > 0.999
+    m = (gk >= 0) & (gk == gx_proc)
+    assert m.any()
+    np.testing.assert_allclose(
+        np.asarray(best_t)[m], np.asarray(ref.t)[m], atol=2e-2
+    )
+    agree_n = np.abs(np.asarray(normal)[m] - np.asarray(ref.normal)[m]).max()
+    assert agree_n < 0.2  # boundary pixels dominate the max; see test below
+
+
+def test_interior_pixels_match_tightly(rays_and_scene):
+    o, d, scene = rays_and_scene
+    best_t, normal, gid = _run_kernel(o, d, scene)
+    ref = traverse.closest_hit(o, d, scene)
+    gk = np.asarray(gid)
+    gx = np.asarray(ref.geometry_id)
+    gx_proc = np.where(gx == scene.layout.plane_geometry_id, -1, gx)
+    m = (gk >= 0) & (gk == gx_proc)
+    td = np.abs(np.asarray(best_t)[m] - np.asarray(ref.t)[m])
+    # 99% of agreeing pixels are within the radiance parity budget.
+    assert np.quantile(td, 0.99) < 1e-3
+
+
+def test_plane_id_merging(rays_and_scene):
+    o, d, scene = rays_and_scene
+    _, _, gid = _run_kernel(o, d, scene)
+    ref = traverse.closest_hit(o, d, scene)
+    plane_id = scene.layout.plane_geometry_id
+    plane_ref = np.asarray(ref.geometry_id) == plane_id
+    plane_kernel = np.asarray(gid) == -1
+    # Wherever XLA says plane, the kernel must say "no procedural hit"
+    # (modulo boundary flips).
+    assert (plane_kernel | ~plane_ref).mean() > 0.999
