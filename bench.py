@@ -35,7 +35,11 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: in
     layout = scene0.layout
 
     @jax.jit
-    def render(arrays):
+    def render(arrays, elapsed_time):
+        # Animated frames like the reference's default run (geometry
+        # animation on): the per-frame transform rebuild (the on_update
+        # work) runs inside the same program as the trace.
+        arrays = builtin.animate_arrays(arrays, elapsed_time)
         img = trace.render_frame(Scene(layout, arrays), width, height)
         # Scalar checksum forces the device computation to complete before
         # the host timestamp (block_until_ready alone does not synchronize
@@ -43,16 +47,11 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: in
         # DispatchRays GPU-timer bracket analog.
         return jnp.sum(img)
 
-    # Animated frames, like the reference's default run (geometry animation
-    # on): rebuild the per-frame scene arrays host-side, render on device.
-    def arrays_at(t):
-        return builtin.build_scene(aspect=width / height, elapsed_time=t).arrays
-
+    arrays0 = scene0.arrays
     frame_times = []
     for i in range(warmup + frames):
-        arrays = arrays_at(0.033 * i)
         t0 = time.perf_counter()
-        float(render(arrays))
+        float(render(arrays0, 0.033 * i))
         dt = time.perf_counter() - t0
         if i >= warmup:
             frame_times.append(dt)

@@ -269,6 +269,20 @@ def build_scene_constants(
     )
 
 
+def animate_arrays(arrays: SceneArrays, elapsed_time) -> SceneArrays:
+    """Advance the traced per-frame state to `elapsed_time` — the
+    on_update work (update_aabb_primitive_attributes + elapsed_time upload,
+    Renderer.cpp:112-119) as a pure jittable function, so the frame loop
+    dispatches ONE program per frame instead of dozens of eager host ops."""
+    t = jnp.asarray(elapsed_time, dtype=jnp.float32)
+    constants = dataclasses.replace(arrays.constants, elapsed_time=t)
+    return dataclasses.replace(
+        arrays,
+        constants=constants,
+        transforms=build_instance_transforms(t),
+    )
+
+
 def build_scene(aspect: float, elapsed_time=0.0, camera: Camera | None = None,
                 light_position=LIGHT_POSITION) -> Scene:
     """Assemble the full reference scene at a given animation time."""
