@@ -265,13 +265,33 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
         active = jnp.ones(batch, dtype=bool)
 
     if _scene_kernel_eligible(origins, scene):
-        # Occlusion == "a valid hit exists"; the closest-hit megakernel
-        # answers that directly (hit or plane).
-        rec = _closest_hit_scene_kernel(
-            origins, directions, scene,
-            t_min=t_min, t_max=t_max, cull_backface=True, active=active,
+        # Occlusion == "a valid hit exists". Runs the megakernel in
+        # accept-first mode (the ACCEPT_FIRST_HIT_AND_END_SEARCH analog):
+        # an occluded lane zeroes its bound so later geometries skip it.
+        from gpuraytracer_tpu.kernels import scene_kernel
+
+        arrays = scene.arrays
+        f32 = origins.dtype
+        if layout.has_plane:
+            hit_p, t_p = intersect_plane(
+                origins, directions, arrays.plane_origin, arrays.plane_size,
+                t_min=t_min, t_max=t_max,
+            )
+            hit_p = hit_p & active
+        else:
+            hit_p = jnp.zeros(batch, dtype=bool)
+        # Plane-occluded lanes need no procedural test at all.
+        t0 = jnp.where(hit_p, 0.0, jnp.asarray(t_max, dtype=f32))
+        o_blas, d_blas = ray_to_blas(origins, directions, arrays.blas_offset)
+        params = scene_kernel.pack_params(arrays, arrays.constants.elapsed_time)
+        geoms = tuple(
+            (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
         )
-        return rec.hit & active
+        _, _, gid = scene_kernel.scene_closest_tiles(
+            o_blas, d_blas, active & ~hit_p, t0, *params,
+            geoms=geoms, cull_backface=True, accept_first=True,
+        )
+        return (hit_p | (gid >= 0)) & active
 
     occluded = jnp.zeros(batch, dtype=bool)
 

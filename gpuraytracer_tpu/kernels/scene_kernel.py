@@ -194,6 +194,7 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=8,
 def _scene_kernel(
     geoms: Tuple[Tuple[int, int], ...],
     cull_backface: bool,
+    accept_first: bool,
     # refs
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     active_ref, t0_ref,
@@ -279,6 +280,11 @@ def _scene_kernel(
         best_ny = jnp.where(closer, nwy * inv, best_ny)
         best_nz = jnp.where(closer, nwz * inv, best_nz)
         best_id = jnp.where(closer, g, best_id)
+        if accept_first:
+            # Occlusion-only queries (ACCEPT_FIRST_HIT_AND_END_SEARCH):
+            # a hit lane needs no closer answer — zero its bound so every
+            # later geometry's gate and march reject it instantly.
+            best_t = jnp.where(best_id >= 0, 0.0, best_t)
 
     thit_ref[:] = best_t
     nx_ref[:] = best_nx
@@ -287,7 +293,7 @@ def _scene_kernel(
     gid_ref[:] = best_id
 
 
-@functools.partial(jax.jit, static_argnames=("geoms", "cull_backface", "interpret"))
+@functools.partial(jax.jit, static_argnames=("geoms", "cull_backface", "accept_first", "interpret"))
 def scene_closest_tiles(
     o_blas,  # (H, W, 3)
     d_blas,  # (H, W, 3)
@@ -301,10 +307,12 @@ def scene_closest_tiles(
     *,
     geoms: Tuple[Tuple[int, int], ...],
     cull_backface: bool = True,
+    accept_first: bool = False,
     interpret: bool = False,
 ):
     """Returns (best_t, normal (H,W,3), geom_id (H,W) int32; -1 where no
-    procedural hit beat t0)."""
+    procedural hit beat t0). With accept_first (occlusion queries) only
+    geom_id >= 0 is meaningful."""
     h, w = active.shape
     ph = (-h) % TILE_ROWS
     pw = (-w) % TILE_COLS
@@ -329,7 +337,7 @@ def scene_closest_tiles(
         return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
 
     g = len(geoms)
-    kernel = functools.partial(_scene_kernel, tuple(geoms), cull_backface)
+    kernel = functools.partial(_scene_kernel, tuple(geoms), cull_backface, accept_first)
     f32 = jnp.float32
     thit, nx, ny, nz, gid = pl.pallas_call(
         kernel,
