@@ -125,3 +125,50 @@ class TestStats:
         assert snaps[0].fps == pytest.approx(5.0, rel=0.01)
         assert snaps[0].mrays_per_second == pytest.approx(0.05, rel=0.01)
         assert "fps" in s.status_line("dev")
+
+
+class TestEvent:
+    def test_attach_dispatch_detach(self):
+        from gpuraytracer_tpu.utils.event import Event
+
+        ev = Event()
+        seen = []
+        fn = seen.append
+        ev.attach(fn)
+        ev(1)
+        ev.detach(fn)
+        ev(2)
+        assert seen == [1]
+
+    def test_weak_method_autocleanup(self):
+        from gpuraytracer_tpu.utils.event import Event
+
+        class Listener:
+            def __init__(self):
+                self.seen = []
+
+            def on_evt(self, v):
+                self.seen.append(v)
+
+        ev = Event()
+        l = Listener()
+        ev.attach(l.on_evt)
+        ev("a")
+        assert l.seen == ["a"]
+        del l
+        import gc
+
+        gc.collect()
+        ev("b")  # dead listener dropped, no error
+        assert ev.listener_count == 0
+
+    def test_viewport_resize_event(self):
+        from gpuraytracer_tpu.utils.event import Viewport
+
+        vp = Viewport(640, 360)
+        sizes = []
+        vp.on_size_changed.attach(lambda w, h: sizes.append((w, h)))
+        vp.resize(640, 360)  # no-op resize ignored (reference behavior)
+        vp.resize(1280, 720)
+        assert sizes == [(1280, 720)]
+        assert vp.aspect_ratio == pytest.approx(16 / 9)
