@@ -28,11 +28,16 @@ def bench_config(cfg, frames: int = 4, warmup: int = 1, scale: float = 1.0):
 
     width = max(8, int(cfg.width * scale))
     height = max(8, int(cfg.height * scale))
-    scene0 = cfg.build(width / height, 0.0)
+    builder = cfg.builder()
+    scene0 = builder.build(width / height, 0.0)
     layout = scene0.layout
+    animate = builder.animator()
 
     @jax.jit
-    def step(arrays):
+    def step(arrays, t_anim):
+        # Per-frame animation runs in the same program as the trace (eager
+        # host-side scene rebuilding costs ~ms per op on remote plugins).
+        arrays = animate(arrays, t_anim)
         img = trace.render_frame(Scene(layout, arrays), width, height,
                                  max_depth=cfg.max_depth)
         # Checksum forces full materialization without a framebuffer
@@ -40,13 +45,13 @@ def bench_config(cfg, frames: int = 4, warmup: int = 1, scale: float = 1.0):
         # plugins).
         return img, jnp.sum(img)
 
+    arrays0 = scene0.arrays
     times = []
     t_compile = None
     for i in range(warmup + frames):
         t_anim = 0.033 * i if cfg.animated else 0.0
-        arrays = cfg.build(width / height, t_anim).arrays
         t0 = time.perf_counter()
-        _, checksum = step(arrays)
+        _, checksum = step(arrays0, t_anim)
         float(checksum)
         dt = time.perf_counter() - t0
         if i == 0:

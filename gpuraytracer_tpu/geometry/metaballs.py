@@ -7,8 +7,10 @@ Reproduces src/VolumetricPrimitives.hlsli:
   bounding-sphere interval clipping     :124-147
   fixed 128-step march to the 0.25 isosurface :151-202
 
-The per-thread while loop becomes a masked fixed-trip fori_loop over the
-whole wavefront; the march interval [tmin, tmax] is per-ray.
+The per-thread while loop becomes a chunked early-exiting while loop over
+the wavefront (two-phase pause/check, see sdf.sphere_trace); the march
+interval [tmin, tmax] is per-ray. kernels/scene_kernel.py carries the
+Pallas per-tile version used on TPU backends.
 """
 
 from __future__ import annotations

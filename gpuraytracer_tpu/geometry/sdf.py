@@ -9,9 +9,11 @@ Reproduces the reference's SDF layer (iq's distfunctions):
   the seven composed objects     ProceduralPrimitivesLibrary.hlsli:63-98
 
 All distance functions take positions shaped (..., 3) and return (...,)
-distances; they are pure and vmappable. The sphere tracer is a masked
-fixed-trip lax.fori_loop over a whole ray wavefront — the TPU-native form
-of the per-thread while loop (SURVEY.md §2.9).
+distances; they are pure and vmappable. The sphere tracer is a chunked,
+early-exiting lax.while_loop over the ray wavefront with a two-phase
+pause/check structure — the TPU-native form of the per-thread while loop
+(SURVEY.md §2.9); kernels/ carries the Pallas per-tile version used on
+TPU backends.
 """
 
 from __future__ import annotations

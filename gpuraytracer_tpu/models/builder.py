@@ -134,6 +134,23 @@ class SceneBuilder:
             local_to_blas=jnp.stack(l2b_rows), blas_to_local=jnp.stack(b2l_rows)
         )
 
+    def animator(self):
+        """Returns a jittable fn(arrays, elapsed_time) -> arrays that
+        advances the per-frame transforms and elapsed_time — the
+        builtin.animate_arrays equivalent for builder scenes, so frame
+        loops dispatch one program per frame instead of rebuilding the
+        scene host-side."""
+        import dataclasses as _dc
+
+        def animate(arrays: SceneArrays, elapsed_time) -> SceneArrays:
+            t = jnp.asarray(elapsed_time, dtype=jnp.float32)
+            constants = _dc.replace(arrays.constants, elapsed_time=t)
+            return _dc.replace(
+                arrays, constants=constants, transforms=self._transforms(t)
+            )
+
+        return animate
+
     def build(self, aspect: float, elapsed_time=0.0) -> Scene:
         if not self._instances:
             raise ValueError("scene has no instances")

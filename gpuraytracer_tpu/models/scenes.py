@@ -48,6 +48,7 @@ class BenchConfig:
     height: int
     max_depth: int
     animated: bool = False
+    builder: Callable[[], SceneBuilder] = None  # fresh SceneBuilder factory
 
 
 def _single_sphere_builder() -> SceneBuilder:
@@ -196,11 +197,16 @@ def _factory(builder_fn):
 
 
 BENCH_CONFIGS: Tuple[BenchConfig, ...] = (
-    BenchConfig("single_sphere_plane_256", _factory(_single_sphere_builder), 256, 256, 2),
-    BenchConfig("analytic_grid_720p", _factory(_analytic_grid_builder), 1280, 720, 2),
-    BenchConfig("sdf_primitives_720p", _factory(_sdf_showcase_builder), 1280, 720, 3),
-    BenchConfig("metaballs_1080p", _factory(_metaballs_builder), 1920, 1080, 3, animated=True),
-    BenchConfig("fractal_mandelbulb_julia_1080p", _factory(_fractal_builder), 1920, 1080, 3),
+    BenchConfig("single_sphere_plane_256", _factory(_single_sphere_builder), 256, 256, 2,
+                builder=_single_sphere_builder),
+    BenchConfig("analytic_grid_720p", _factory(_analytic_grid_builder), 1280, 720, 2,
+                builder=_analytic_grid_builder),
+    BenchConfig("sdf_primitives_720p", _factory(_sdf_showcase_builder), 1280, 720, 3,
+                builder=_sdf_showcase_builder),
+    BenchConfig("metaballs_1080p", _factory(_metaballs_builder), 1920, 1080, 3,
+                animated=True, builder=_metaballs_builder),
+    BenchConfig("fractal_mandelbulb_julia_1080p", _factory(_fractal_builder), 1920, 1080, 3,
+                builder=_fractal_builder),
 )
 
 
