@@ -48,8 +48,32 @@ from gpuraytracer_tpu.render import shade
 def _gather_materials(materials, geometry_id):
     """Index the material SoA by per-ray geometry id (the shader-record
     local-root-argument fetch analog). Miss lanes are clamped to row 0 and
-    masked by callers."""
-    idx = jnp.clip(geometry_id, 0, materials.albedo.shape[0] - 1)
+    masked by callers.
+
+    For the small tables of this workload (11 rows) a branchless select
+    chain replaces per-ray gathers — gathers serialize on the TPU VPU,
+    selects vectorize."""
+    g = materials.albedo.shape[0]
+    if g <= 16:
+        def pick(table):
+            out = jnp.broadcast_to(
+                table[0], geometry_id.shape + table.shape[1:]
+            ).astype(table.dtype)
+            for i in range(1, g):
+                m = geometry_id == i
+                if table.ndim > 1:
+                    m = m[..., None]
+                out = jnp.where(m, table[i], out)
+            return out
+
+        return (
+            pick(materials.albedo),
+            pick(materials.reflectance_coefficient),
+            pick(materials.diffuse_coefficient),
+            pick(materials.specular_coefficient),
+            pick(materials.specular_power),
+        )
+    idx = jnp.clip(geometry_id, 0, g - 1)
     return (
         materials.albedo[idx],
         materials.reflectance_coefficient[idx],
