@@ -32,7 +32,7 @@ from gpuraytracer_tpu.core.types import SDF_HIT_THRESHOLD, SDF_MAX_STEPS
 from gpuraytracer_tpu.kernels.soa import DISTANCE_FUNCTIONS_SOA, V3
 
 TILE_ROWS = 8
-TILE_COLS = 128
+TILE_COLS = 256
 
 _NORMAL_EPS = 0.5773 * 0.0001
 

@@ -40,7 +40,7 @@ from gpuraytracer_tpu.kernels import soa
 from gpuraytracer_tpu.kernels.soa import V3
 
 TILE_ROWS = 8
-TILE_COLS = 128
+TILE_COLS = 256
 _NORMAL_EPS = 0.5773 * 0.0001
 _MB_NORMAL_EPS = 0.5773 * 0.00001
 
@@ -58,7 +58,7 @@ def _normal_at(distance_fn, p: V3) -> V3:
     ).normalized()
 
 
-def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=8,
+def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
                max_steps=SDF_MAX_STEPS):
     """Two-phase pause/check sphere trace over one tile (see
     megakernel._tile_march_kernel for the semantics notes)."""
@@ -112,7 +112,7 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=8,
     return hit, t_hit, _normal_at(distance_fn, safe)
 
 
-def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=8,
+def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
                      max_steps=METABALL_MAX_STEPS):
     """Fixed-step isosurface march (VolumetricPrimitives.hlsli:151-202)
     over one tile. balls: tuple of 3 (cx, cy, cz, r) scalar tuples."""
