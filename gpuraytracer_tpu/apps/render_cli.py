@@ -38,6 +38,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--animate-light", action="store_true")
     p.add_argument("--no-animate-geometry", action="store_true")
     p.add_argument("--frames-in-flight", type=int, default=3)
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="write animation-state checkpoint here after the run")
+    p.add_argument("--resume", type=str, default="",
+                   help="resume animation state from a checkpoint file")
     return p.parse_args(argv)
 
 
@@ -76,8 +80,15 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
 
-    state = animate.AnimationState.initial()
-    state.geometry_time = args.time
+    start_frame = 0
+    if args.resume:
+        from gpuraytracer_tpu.utils import checkpoint as ckpt
+
+        state, _, start_frame = ckpt.load(args.resume)
+        log.info("resumed at frame %d, t=%.3f s", start_frame, state.geometry_time)
+    else:
+        state = animate.AnimationState.initial()
+        state.geometry_time = args.time
     renderer = trace.make_renderer(
         builtin.LAYOUT, config.width, config.height, max_depth=config.max_recursion_depth
     )
@@ -101,7 +112,7 @@ def main(argv=None) -> int:
         stats.frame_rendered()
 
     try:
-        for i in range(args.frames):
+        for i in range(start_frame, start_frame + args.frames):
             if args.dt is not None:
                 state = state.tick(args.dt, config)
             else:
@@ -119,6 +130,12 @@ def main(argv=None) -> int:
         writer.drain()
     finally:
         writer.close()
+
+    if args.checkpoint:
+        from gpuraytracer_tpu.utils import checkpoint as ckpt
+
+        ckpt.save(args.checkpoint, state, config, start_frame + args.frames)
+        log.info("checkpoint -> %s", args.checkpoint)
 
     log.info(
         "rendered %d frame(s) at %dx%d -> %s",

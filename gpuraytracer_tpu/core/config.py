@@ -28,9 +28,9 @@ class RenderConfig:
     # Output dtype for the framebuffer: "float32" (radiance) or "rgba8"
     # (the R8G8B8A8_UNORM backbuffer analog).
     output_format: str = "float32"
-    # Compute path: "xla" (pure-JAX reference implementation) or "pallas"
-    # (TPU megakernel for the intersect stage).
-    kernel_backend: str = "xla"
+    # Compute path is selected automatically: the Pallas scene megakernel on
+    # TPU backends, the pure-JAX wavefront path elsewhere. Set the
+    # GPURT_DISABLE_PALLAS env var to force the XLA path on TPU.
 
     @property
     def aspect_ratio(self) -> float:

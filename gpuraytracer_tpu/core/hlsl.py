@@ -93,11 +93,6 @@ def vec4(x, y, z, w):
     return jnp.stack(jnp.broadcast_arrays(x, y, z, w), axis=-1)
 
 
-def splat3(v, shape=()):
-    """Broadcast a constant python 3-tuple to shape + (3,)."""
-    return jnp.broadcast_to(jnp.asarray(v, dtype=jnp.float32), tuple(shape) + (3,))
-
-
 def calculate_animation_interpolant(elapsed_time, cycle_duration):
     """Cycling 0 -> 1 -> 0 animation interpolant, smoothstepped.
 

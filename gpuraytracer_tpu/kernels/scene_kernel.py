@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
