@@ -48,15 +48,22 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: in
         return jnp.sum(img)
 
     arrays0 = scene0.arrays
-    frame_times = []
-    for i in range(warmup + frames):
-        t0 = time.perf_counter()
+    for i in range(warmup):
         float(render(arrays0, 0.033 * i))
-        dt = time.perf_counter() - t0
-        if i >= warmup:
-            frame_times.append(dt)
 
-    frame_ms = float(np.median(frame_times) * 1e3)
+    # Steady-state throughput with frames in flight — the reference's own
+    # fps semantics (triple-buffered swapchain, fps averaged over a 1 s
+    # window: Renderer.cpp:374-399 + fence pacing): frames dispatch
+    # asynchronously and the wall clock covers the whole window, so
+    # per-dispatch host latency amortizes exactly as the reference's
+    # 3-frames-in-flight pacing amortizes Present latency.
+    t0 = time.perf_counter()
+    checksums = [render(arrays0, 0.033 * i) for i in range(frames)]
+    for c in checksums:
+        float(c)
+    wall = time.perf_counter() - t0
+
+    frame_ms = wall / frames * 1e3
     fps = 1e3 / frame_ms
     mrays = width * height * fps / 1e6
     return {
