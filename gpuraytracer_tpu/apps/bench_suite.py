@@ -46,18 +46,23 @@ def bench_config(cfg, frames: int = 4, warmup: int = 1, scale: float = 1.0):
         return img, jnp.sum(img)
 
     arrays0 = scene0.arrays
-    times = []
-    t_compile = None
-    for i in range(warmup + frames):
-        t_anim = 0.033 * i if cfg.animated else 0.0
-        t0 = time.perf_counter()
-        _, checksum = step(arrays0, t_anim)
-        float(checksum)
-        dt = time.perf_counter() - t0
-        if i == 0:
-            t_compile = dt
-        if i >= warmup:
-            times.append(dt)
+    t0 = time.perf_counter()
+    _, checksum = step(arrays0, 0.0)
+    float(checksum)
+    t_compile = time.perf_counter() - t0
+    for i in range(1, warmup):
+        _, c = step(arrays0, 0.033 * i if cfg.animated else 0.0)
+        float(c)
+
+    # Frames-in-flight throughput (see bench.py for the rationale).
+    t0 = time.perf_counter()
+    checks = [
+        step(arrays0, 0.033 * i if cfg.animated else 0.0)[1]
+        for i in range(frames)
+    ]
+    for c in checks:
+        float(c)
+    times = [(time.perf_counter() - t0) / frames]
 
     import numpy as np
 

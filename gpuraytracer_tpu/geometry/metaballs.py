@@ -182,7 +182,10 @@ def intersect_metaballs(
         step = (tmax - tmin) / float(max_steps)
 
         steps0 = zero.astype(jnp.int32)
-        done0 = ~active
+        # Empty bounding interval (missed every sphere) cannot produce a
+        # hit; skip those lanes immediately (result-identical — see the
+        # Pallas kernel note).
+        done0 = ~active | ~(tmax >= tmin)
         paused0 = zero > 1.0  # all False
         t_hit0 = zero + jnp.inf
 

@@ -146,7 +146,12 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
     step = (tmax_u - tmin) / float(max_steps)
 
     izero = zero.astype(jnp.int32)
-    state0 = (tmin, izero, jnp.where(gate, izero, izero + 1), izero, zero + inf)
+    # Lanes whose ray misses every bounding sphere have an empty interval
+    # (tmin=+inf, tmax=-inf); the reference still burns its 128 iterations
+    # on them (positions at inf, potential 0 — a hit is impossible), so
+    # skipping them immediately is result-identical and saves the march.
+    live = gate & (tmax_u >= tmin)
+    state0 = (tmin, izero, jnp.where(live, izero, izero + 1), izero, zero + inf)
 
     def cond(state):
         _, _, done_i, _, _ = state
