@@ -82,6 +82,10 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             active=gate,
         )
     elif kind == IntersectorKind.SIGNED_DISTANCE:
+        # Extension DE fractals (codes >= 7) skip back-face culling — see
+        # kernels/scene_kernel.py; reference primitives keep cull parity.
+        if int(prim_type) >= 7:
+            cull = False
         # On TPU, route the march through the Pallas per-tile megakernel
         # (kernels/megakernel.py) — each (8,128)-pixel tile early-exits on
         # its own slowest ray and skips gated-out geometry entirely. The

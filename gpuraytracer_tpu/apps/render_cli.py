@@ -78,6 +78,10 @@ def main(argv=None) -> int:
     info = device_mod.pick_device(config.platform)
     log.info("device: %s%s", info.description, " [software fallback]" if info.is_software else "")
 
+    from gpuraytracer_tpu.utils import introspect
+
+    log.info("%s", introspect.describe_backend())
+
     os.makedirs(args.out, exist_ok=True)
 
     start_frame = 0
@@ -89,6 +93,9 @@ def main(argv=None) -> int:
     else:
         state = animate.AnimationState.initial()
         state.geometry_time = args.time
+    scene0 = state.scene(config.aspect_ratio)
+    for line in introspect.describe_scene(scene0).splitlines():
+        log.info("%s", line)
     renderer = trace.make_renderer(
         builtin.LAYOUT, config.width, config.height, max_depth=config.max_recursion_depth
     )

@@ -70,9 +70,12 @@ def length_sq(v, axis=-1, keepdims=False):
 
 
 def normalize(v, axis=-1):
-    """HLSL normalize: v / length(v). No epsilon — zero vectors give inf/nan,
-    matching HLSL; callers mask invalid lanes."""
-    return v / length(v, axis=axis, keepdims=True)
+    """HLSL normalize: v / length(v), with an exact-zero guard: a zero
+    vector normalizes to zero instead of NaN (bitwise identical for any
+    |v| >= 1e-18, far below every real normal/direction in this
+    framework; degenerate gradients occur only inside the extension DE
+    fractals)."""
+    return v / jnp.maximum(length(v, axis=axis, keepdims=True), 1e-20)
 
 
 def reflect(i, n):

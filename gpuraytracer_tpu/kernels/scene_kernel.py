@@ -59,7 +59,7 @@ def _normal_at(distance_fn, p: V3) -> V3:
 
 
 def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
-               max_steps=SDF_MAX_STEPS):
+               max_steps=SDF_MAX_STEPS, cull_backface=True):
     """Two-phase pause/check sphere trace over one tile (see
     megakernel._tile_march_kernel for the semantics notes)."""
     inf = jnp.float32(jnp.inf)
@@ -78,7 +78,7 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
 
         pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
         n = _normal_at(distance_fn, pos)
-        facing_ok = d.dot(n) <= 0.0
+        facing_ok = (d.dot(n) <= 0.0) if cull_backface else (t == t)
         in_range = (t >= 0.0) & (t <= t_max)
         valid = paused & facing_ok & in_range
         t_hit = jnp.where(valid, t, t_hit)
@@ -220,6 +220,13 @@ def _scene_kernel(
     best_id = zero.astype(jnp.int32) - 1
 
     for g, (kind, code) in enumerate(geoms):
+        # Extension DE fractals (codes past the reference's 0..6) skip the
+        # back-face cull: their rough boundaries make the tetrahedral
+        # normal noisy, turning the cull check into a resume-crawl. The
+        # reference primitives keep exact cull parity.
+        cull_g = cull_backface and not (
+            kind == int(IntersectorKind.SIGNED_DISTANCE) and int(code) >= 7
+        )
         # In-kernel slab gate against this geometry's BLAS-space AABB,
         # bounded by the tile's current best_t (shrinking RayTCurrent).
         tmin_g, tmax_g = soa.aabb_interval(
@@ -253,7 +260,8 @@ def _scene_kernel(
         if kind == int(IntersectorKind.SIGNED_DISTANCE):
             distance_fn = soa.DISTANCE_FUNCTIONS_SOA[int(code)]
             hit, t, n_loc = _march_sdf(
-                distance_fn, o_loc, d_loc, gate, best_t, sscale_ref[g, 0]
+                distance_fn, o_loc, d_loc, gate, best_t, sscale_ref[g, 0],
+                cull_backface=cull_g,
             )
         elif kind == int(IntersectorKind.VOLUMETRIC):
             balls = tuple(

@@ -70,7 +70,9 @@ class V3(NamedTuple):
         return jnp.maximum(self.x, jnp.maximum(self.y, self.z))
 
     def normalized(self) -> "V3":
-        inv = 1.0 / self.length()
+        # Exact-zero guard: zero vectors normalize to zero, not NaN (see
+        # core/hlsl.normalize).
+        inv = 1.0 / jnp.maximum(self.length(), 1e-20)
         return V3(self.x * inv, self.y * inv, self.z * inv)
 
 

@@ -155,3 +155,21 @@ class TestRegistryDispatch:
         )(code)
         assert bool(hit_s[0]) == bool(hit_d[0])
         np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_d), atol=1e-6)
+
+
+class TestIntrospect:
+    def test_describe_scene(self, builtin_scene):
+        from gpuraytracer_tpu.utils import introspect
+
+        text = introspect.describe_scene(builtin_scene)
+        assert "10 procedural geometries + ground plane" in text
+        assert "FRACTAL_PYRAMID" in text
+        assert "METABALLS" in text
+        assert "GROUND_PLANE" in text
+        assert text.count("\n") >= 12
+
+    def test_describe_backend(self):
+        from gpuraytracer_tpu.utils import introspect
+
+        s = introspect.describe_backend()
+        assert "traversal=" in s
