@@ -200,7 +200,9 @@ def sphere_trace_tiles(
     kernel = functools.partial(
         _tile_march_kernel, distance_fn, cull_backface, max_steps, unroll
     )
-    out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    vma = getattr(jax.typeof(planes[0]), "vma", None)
+    kw = {"vma": vma} if vma else {}
+    out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32, **kw)
     thit, nx, ny, nz = pl.pallas_call(
         kernel,
         grid=grid,

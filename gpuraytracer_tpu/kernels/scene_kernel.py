@@ -352,6 +352,10 @@ def scene_closest_tiles(
     g = len(geoms)
     kernel = functools.partial(_scene_kernel, tuple(geoms), cull_backface, accept_first)
     f32 = jnp.float32
+    # Under shard_map the outputs must declare their varying mesh axes;
+    # inherit them from the ray planes (empty outside shard_map).
+    vma = getattr(jax.typeof(planes[0]), "vma", None)
+    kw = {"vma": vma} if vma else {}
     thit, nx, ny, nz, gid = pl.pallas_call(
         kernel,
         grid=grid,
@@ -360,11 +364,11 @@ def scene_closest_tiles(
         ],
         out_specs=[tile_spec] * 5,
         out_shape=[
-            jax.ShapeDtypeStruct((hp, wp), f32),
-            jax.ShapeDtypeStruct((hp, wp), f32),
-            jax.ShapeDtypeStruct((hp, wp), f32),
-            jax.ShapeDtypeStruct((hp, wp), f32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), f32, **kw),
+            jax.ShapeDtypeStruct((hp, wp), f32, **kw),
+            jax.ShapeDtypeStruct((hp, wp), f32, **kw),
+            jax.ShapeDtypeStruct((hp, wp), f32, **kw),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32, **kw),
         ],
         interpret=interpret,
     )(
