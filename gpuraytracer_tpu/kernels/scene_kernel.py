@@ -106,10 +106,10 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
         return t, steps, done.astype(jnp.int32), paused.astype(jnp.int32), t_hit
 
     _, _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
-    hit = t_hit < inf
-    pos = V3(o.x + t_hit * d.x, o.y + t_hit * d.y, o.z + t_hit * d.z)
-    safe = V3(jnp.where(hit, pos.x, 0.0), jnp.where(hit, pos.y, 0.0), jnp.where(hit, pos.z, 0.0))
-    return hit, t_hit, _normal_at(distance_fn, safe)
+    # The winning hit's normal is recomputed in the kernel epilogue, only
+    # for tiles this geometry actually won (pl.when) — computing it here
+    # unconditionally cost ~40 distance evals per tile across the scene.
+    return t_hit < inf, t_hit
 
 
 def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
@@ -190,10 +190,23 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
         return t, steps, done.astype(jnp.int32), paused.astype(jnp.int32), t_hit
 
     _, _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
-    hit = t_hit < inf
-    pos = V3(o.x + t_hit * d.x, o.y + t_hit * d.y, o.z + t_hit * d.z)
-    safe = V3(jnp.where(hit, pos.x, 0.0), jnp.where(hit, pos.y, 0.0), jnp.where(hit, pos.z, 0.0))
-    return hit, t_hit, normal_at(safe)
+    # Normal deferred to the kernel epilogue (see _march_sdf).
+    return t_hit < inf, t_hit
+
+
+def _metaball_normal(p: V3, balls) -> V3:
+    def potential(q: V3):
+        total = q.x * 0.0
+        for cx, cy, cz, r in balls:
+            total = total + soa.metaball_potential_soa(q, cx, cy, cz, r)
+        return total
+
+    e = _MB_NORMAL_EPS
+    return V3(
+        potential(V3(p.x - e, p.y, p.z)) - potential(V3(p.x + e, p.y, p.z)),
+        potential(V3(p.x, p.y - e, p.z)) - potential(V3(p.x, p.y + e, p.z)),
+        potential(V3(p.x, p.y, p.z - e)) - potential(V3(p.x, p.y, p.z + e)),
+    ).normalized()
 
 
 def _scene_kernel(
@@ -257,41 +270,49 @@ def _scene_kernel(
             row(b2l_ref, 2, d.x, d.y, d.z),
         )
 
+        def world_normal(n_loc, g=g):
+            # local -> BLAS(-> world, identity rotation) normal,
+            # straight-matrix like the reference (Raytracing.hlsl:298-301),
+            # then normalize.
+            nwx = l2b_ref[g, 0] * n_loc.x + l2b_ref[g, 1] * n_loc.y + l2b_ref[g, 2] * n_loc.z
+            nwy = l2b_ref[g, 3] * n_loc.x + l2b_ref[g, 4] * n_loc.y + l2b_ref[g, 5] * n_loc.z
+            nwz = l2b_ref[g, 6] * n_loc.x + l2b_ref[g, 7] * n_loc.y + l2b_ref[g, 8] * n_loc.z
+            inv = 1.0 / jnp.sqrt(jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30))
+            return nwx * inv, nwy * inv, nwz * inv
+
         if kind == int(IntersectorKind.SIGNED_DISTANCE):
             distance_fn = soa.DISTANCE_FUNCTIONS_SOA[int(code)]
-            hit, t, n_loc = _march_sdf(
+            hit, t = _march_sdf(
                 distance_fn, o_loc, d_loc, gate, best_t, sscale_ref[g, 0],
                 cull_backface=cull_g,
             )
+            n_world = None  # normal deferred to the pl.when epilogue
         elif kind == int(IntersectorKind.VOLUMETRIC):
             balls = tuple(
                 (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
                 for j in range(3)
             )
-            hit, t, n_loc = _march_metaballs(o_loc, d_loc, gate, best_t, balls)
+            hit, t = _march_metaballs(o_loc, d_loc, gate, best_t, balls)
+            n_world = None
         elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.AABB):
             hit, t, n_loc = soa.intersect_hollow_aabb(
                 o_loc, d_loc, 0.0, best_t, cull_backface
             )
+            n_world = world_normal(n_loc)
         elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.SPHERES):
             hit, t, n_loc = soa.intersect_spheres(
                 o_loc, d_loc, 0.0, best_t, cull_backface
             )
+            n_world = world_normal(n_loc)
         else:
             raise ValueError(f"unsupported geometry kind={kind} code={code}")
 
-        # local -> BLAS(-> world, identity rotation) normal, straight-matrix
-        # like the reference (Raytracing.hlsl:298-301), then normalize.
-        nwx = l2b_ref[g, 0] * n_loc.x + l2b_ref[g, 1] * n_loc.y + l2b_ref[g, 2] * n_loc.z
-        nwy = l2b_ref[g, 3] * n_loc.x + l2b_ref[g, 4] * n_loc.y + l2b_ref[g, 5] * n_loc.z
-        nwz = l2b_ref[g, 6] * n_loc.x + l2b_ref[g, 7] * n_loc.y + l2b_ref[g, 8] * n_loc.z
-        inv = 1.0 / jnp.sqrt(jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30))
-
         closer = hit & gate & (t < best_t)
         best_t = jnp.where(closer, t, best_t)
-        best_nx = jnp.where(closer, nwx * inv, best_nx)
-        best_ny = jnp.where(closer, nwy * inv, best_ny)
-        best_nz = jnp.where(closer, nwz * inv, best_nz)
+        if n_world is not None:
+            best_nx = jnp.where(closer, n_world[0], best_nx)
+            best_ny = jnp.where(closer, n_world[1], best_ny)
+            best_nz = jnp.where(closer, n_world[2], best_nz)
         best_id = jnp.where(closer, g, best_id)
         if accept_first:
             # Occlusion-only queries (ACCEPT_FIRST_HIT_AND_END_SEARCH):
@@ -304,6 +325,64 @@ def _scene_kernel(
     ny_ref[:] = best_ny
     nz_ref[:] = best_nz
     gid_ref[:] = best_id
+
+    # Normal epilogue for the march geometries: recompute the hit normal
+    # ONLY in tiles that geometry actually won (pl.when tile predicate).
+    # This is where the unconditional version burned ~4 distance evals per
+    # geometry per tile regardless of gating.
+    if not accept_first:
+        for g, (kind, code) in enumerate(geoms):
+            if kind not in (
+                int(IntersectorKind.SIGNED_DISTANCE),
+                int(IntersectorKind.VOLUMETRIC),
+            ):
+                continue
+            won = best_id == g
+
+            def epilogue(g=g, kind=kind, code=code, won=won):
+                def row(ref, r, vx, vy, vz, w=None):
+                    out = (
+                        ref[g, 4 * r + 0] * vx
+                        + ref[g, 4 * r + 1] * vy
+                        + ref[g, 4 * r + 2] * vz
+                    )
+                    if w is not None:
+                        out = out + ref[g, 4 * r + 3]
+                    return out
+
+                o_loc = V3(
+                    row(b2l_ref, 0, o.x, o.y, o.z, w=1),
+                    row(b2l_ref, 1, o.x, o.y, o.z, w=1),
+                    row(b2l_ref, 2, o.x, o.y, o.z, w=1),
+                )
+                d_loc = V3(
+                    row(b2l_ref, 0, d.x, d.y, d.z),
+                    row(b2l_ref, 1, d.x, d.y, d.z),
+                    row(b2l_ref, 2, d.x, d.y, d.z),
+                )
+                t_won = jnp.where(won, best_t, 0.0)
+                pos = V3(
+                    o_loc.x + t_won * d_loc.x,
+                    o_loc.y + t_won * d_loc.y,
+                    o_loc.z + t_won * d_loc.z,
+                )
+                if kind == int(IntersectorKind.SIGNED_DISTANCE):
+                    n_loc = _normal_at(soa.DISTANCE_FUNCTIONS_SOA[int(code)], pos)
+                else:
+                    balls = tuple(
+                        (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
+                        for j in range(3)
+                    )
+                    n_loc = _metaball_normal(pos, balls)
+                nwx = l2b_ref[g, 0] * n_loc.x + l2b_ref[g, 1] * n_loc.y + l2b_ref[g, 2] * n_loc.z
+                nwy = l2b_ref[g, 3] * n_loc.x + l2b_ref[g, 4] * n_loc.y + l2b_ref[g, 5] * n_loc.z
+                nwz = l2b_ref[g, 6] * n_loc.x + l2b_ref[g, 7] * n_loc.y + l2b_ref[g, 8] * n_loc.z
+                inv = 1.0 / jnp.sqrt(jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30))
+                nx_ref[:] = jnp.where(won, nwx * inv, nx_ref[:])
+                ny_ref[:] = jnp.where(won, nwy * inv, ny_ref[:])
+                nz_ref[:] = jnp.where(won, nwz * inv, nz_ref[:])
+
+            pl.when(jnp.any(won))(epilogue)
 
 
 @functools.partial(jax.jit, static_argnames=("geoms", "cull_backface", "accept_first", "interpret"))
