@@ -226,11 +226,18 @@ def _scene_kernel(
     o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
     d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
     active = active_ref[:] != 0
-    best_t = t0_ref[:]
 
+    # Closest-hit state lives in the OUTPUT refs so each geometry's entire
+    # body (local transform + intersector + reduction) can sit under a
+    # pl.when tile predicate: a tile whose slab gate admits no lane skips
+    # that geometry's code outright (only the ~40-flop slab test runs
+    # unconditionally).
     zero = o.x * 0.0
-    best_nx, best_ny, best_nz = zero, zero, zero
-    best_id = zero.astype(jnp.int32) - 1
+    thit_ref[:] = t0_ref[:]
+    nx_ref[:] = zero
+    ny_ref[:] = zero
+    nz_ref[:] = zero
+    gid_ref[:] = zero.astype(jnp.int32) - 1
 
     for g, (kind, code) in enumerate(geoms):
         # Extension DE fractals (codes past the reference's 0..6) skip the
@@ -248,83 +255,93 @@ def _scene_kernel(
             aabb_ref[g, 3], aabb_ref[g, 4], aabb_ref[g, 5],
         )
         gate = (
-            (tmax_g > tmin_g) & (tmax_g >= 0.0) & (tmin_g <= best_t) & active
+            (tmax_g > tmin_g) & (tmax_g >= 0.0) & (tmin_g <= thit_ref[:]) & active
         )
 
-        # BLAS -> unit-AABB local space (Raytracing.hlsl:277-287), matrix
-        # rows as SMEM scalars.
-        def row(ref, r, vx, vy, vz, base=0, w=None):
-            out = ref[g, base + 4 * r + 0] * vx + ref[g, base + 4 * r + 1] * vy + ref[g, base + 4 * r + 2] * vz
-            if w is not None:
-                out = out + ref[g, base + 4 * r + 3]
-            return out
+        def process(g=g, kind=kind, code=code, cull_g=cull_g, gate=gate):
+            best_t = thit_ref[:]
 
-        o_loc = V3(
-            row(b2l_ref, 0, o.x, o.y, o.z, w=1),
-            row(b2l_ref, 1, o.x, o.y, o.z, w=1),
-            row(b2l_ref, 2, o.x, o.y, o.z, w=1),
-        )
-        d_loc = V3(
-            row(b2l_ref, 0, d.x, d.y, d.z),
-            row(b2l_ref, 1, d.x, d.y, d.z),
-            row(b2l_ref, 2, d.x, d.y, d.z),
-        )
+            # BLAS -> unit-AABB local space (Raytracing.hlsl:277-287),
+            # matrix rows as SMEM scalars.
+            def row(ref, r, vx, vy, vz, w=None):
+                out = (
+                    ref[g, 4 * r + 0] * vx
+                    + ref[g, 4 * r + 1] * vy
+                    + ref[g, 4 * r + 2] * vz
+                )
+                if w is not None:
+                    out = out + ref[g, 4 * r + 3]
+                return out
 
-        def world_normal(n_loc, g=g):
-            # local -> BLAS(-> world, identity rotation) normal,
-            # straight-matrix like the reference (Raytracing.hlsl:298-301),
-            # then normalize.
-            nwx = l2b_ref[g, 0] * n_loc.x + l2b_ref[g, 1] * n_loc.y + l2b_ref[g, 2] * n_loc.z
-            nwy = l2b_ref[g, 3] * n_loc.x + l2b_ref[g, 4] * n_loc.y + l2b_ref[g, 5] * n_loc.z
-            nwz = l2b_ref[g, 6] * n_loc.x + l2b_ref[g, 7] * n_loc.y + l2b_ref[g, 8] * n_loc.z
-            inv = 1.0 / jnp.sqrt(jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30))
-            return nwx * inv, nwy * inv, nwz * inv
-
-        if kind == int(IntersectorKind.SIGNED_DISTANCE):
-            distance_fn = soa.DISTANCE_FUNCTIONS_SOA[int(code)]
-            hit, t = _march_sdf(
-                distance_fn, o_loc, d_loc, gate, best_t, sscale_ref[g, 0],
-                cull_backface=cull_g,
+            o_loc = V3(
+                row(b2l_ref, 0, o.x, o.y, o.z, w=1),
+                row(b2l_ref, 1, o.x, o.y, o.z, w=1),
+                row(b2l_ref, 2, o.x, o.y, o.z, w=1),
             )
-            n_world = None  # normal deferred to the pl.when epilogue
-        elif kind == int(IntersectorKind.VOLUMETRIC):
-            balls = tuple(
-                (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
-                for j in range(3)
+            d_loc = V3(
+                row(b2l_ref, 0, d.x, d.y, d.z),
+                row(b2l_ref, 1, d.x, d.y, d.z),
+                row(b2l_ref, 2, d.x, d.y, d.z),
             )
-            hit, t = _march_metaballs(o_loc, d_loc, gate, best_t, balls)
-            n_world = None
-        elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.AABB):
-            hit, t, n_loc = soa.intersect_hollow_aabb(
-                o_loc, d_loc, 0.0, best_t, cull_backface
-            )
-            n_world = world_normal(n_loc)
-        elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.SPHERES):
-            hit, t, n_loc = soa.intersect_spheres(
-                o_loc, d_loc, 0.0, best_t, cull_backface
-            )
-            n_world = world_normal(n_loc)
-        else:
-            raise ValueError(f"unsupported geometry kind={kind} code={code}")
 
-        closer = hit & gate & (t < best_t)
-        best_t = jnp.where(closer, t, best_t)
-        if n_world is not None:
-            best_nx = jnp.where(closer, n_world[0], best_nx)
-            best_ny = jnp.where(closer, n_world[1], best_ny)
-            best_nz = jnp.where(closer, n_world[2], best_nz)
-        best_id = jnp.where(closer, g, best_id)
-        if accept_first:
-            # Occlusion-only queries (ACCEPT_FIRST_HIT_AND_END_SEARCH):
-            # a hit lane needs no closer answer — zero its bound so every
-            # later geometry's gate and march reject it instantly.
-            best_t = jnp.where(best_id >= 0, 0.0, best_t)
+            def world_normal(n_loc):
+                # local -> BLAS(-> world, identity rotation) normal,
+                # straight-matrix like the reference
+                # (Raytracing.hlsl:298-301), then normalize.
+                nwx = l2b_ref[g, 0] * n_loc.x + l2b_ref[g, 1] * n_loc.y + l2b_ref[g, 2] * n_loc.z
+                nwy = l2b_ref[g, 3] * n_loc.x + l2b_ref[g, 4] * n_loc.y + l2b_ref[g, 5] * n_loc.z
+                nwz = l2b_ref[g, 6] * n_loc.x + l2b_ref[g, 7] * n_loc.y + l2b_ref[g, 8] * n_loc.z
+                inv = 1.0 / jnp.sqrt(jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30))
+                return nwx * inv, nwy * inv, nwz * inv
 
-    thit_ref[:] = best_t
-    nx_ref[:] = best_nx
-    ny_ref[:] = best_ny
-    nz_ref[:] = best_nz
-    gid_ref[:] = best_id
+            if kind == int(IntersectorKind.SIGNED_DISTANCE):
+                distance_fn = soa.DISTANCE_FUNCTIONS_SOA[int(code)]
+                hit, t = _march_sdf(
+                    distance_fn, o_loc, d_loc, gate, best_t, sscale_ref[g, 0],
+                    cull_backface=cull_g,
+                )
+                n_world = None  # normal deferred to the pl.when epilogue
+            elif kind == int(IntersectorKind.VOLUMETRIC):
+                balls = tuple(
+                    (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
+                    for j in range(3)
+                )
+                hit, t = _march_metaballs(o_loc, d_loc, gate, best_t, balls)
+                n_world = None
+            elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.AABB):
+                hit, t, n_loc = soa.intersect_hollow_aabb(
+                    o_loc, d_loc, 0.0, best_t, cull_backface
+                )
+                n_world = world_normal(n_loc)
+            elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.SPHERES):
+                hit, t, n_loc = soa.intersect_spheres(
+                    o_loc, d_loc, 0.0, best_t, cull_backface
+                )
+                n_world = world_normal(n_loc)
+            else:
+                raise ValueError(f"unsupported geometry kind={kind} code={code}")
+
+            closer = hit & gate & (t < best_t)
+            new_t = jnp.where(closer, t, best_t)
+            if accept_first:
+                # Occlusion-only queries (ACCEPT_FIRST_HIT_AND_END_SEARCH):
+                # a hit lane needs no closer answer — zero its bound so
+                # every later geometry's gate and march reject it instantly.
+                new_gid = jnp.where(closer, g, gid_ref[:])
+                thit_ref[:] = jnp.where(new_gid >= 0, 0.0, new_t)
+                gid_ref[:] = new_gid
+            else:
+                thit_ref[:] = new_t
+                gid_ref[:] = jnp.where(closer, g, gid_ref[:])
+                if n_world is not None:
+                    nx_ref[:] = jnp.where(closer, n_world[0], nx_ref[:])
+                    ny_ref[:] = jnp.where(closer, n_world[1], ny_ref[:])
+                    nz_ref[:] = jnp.where(closer, n_world[2], nz_ref[:])
+
+        pl.when(jnp.any(gate))(process)
+
+    best_t = thit_ref[:]
+    best_id = gid_ref[:]
 
     # Normal epilogue for the march geometries: recompute the hit normal
     # ONLY in tiles that geometry actually won (pl.when tile predicate).
