@@ -70,6 +70,8 @@ class SceneArrays:
     blas_offset: Any  # (3,) BLAS -> world translation for procedural geometry
     plane_origin: Any  # (3,) world-space corner of the ground quad
     plane_size: Any  # (2,) world-space x/z extents of the quad
+    meshes: Tuple[Any, ...] = ()  # TriangleMesh per TRIANGLE instance (its
+    # prim_type indexes this tuple) — the triangle BLAS vertex/index data
 
     def tree_flatten(self):
         children = (
@@ -81,6 +83,7 @@ class SceneArrays:
             self.blas_offset,
             self.plane_origin,
             self.plane_size,
+            self.meshes,
         )
         return children, None
 

@@ -58,10 +58,18 @@ def intersect_plane(origins, directions, plane_origin, plane_size, *, t_min, t_m
     return hit, jnp.where(hit, t, jnp.inf)
 
 
-def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, step_scale, elapsed_time, gate):
+def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, step_scale, elapsed_time, gate, mesh=None):
     """Static dispatch to the intersection kernel for one geometry — the
     lax.switch-free SBT analog (each geometry's kernel is known at trace
     time; Raytracing.hlsl:289-341)."""
+    if kind == IntersectorKind.TRIANGLE:
+        # Generic indexed-triangle geometry (the triangle BLAS analog,
+        # Renderer.cpp:575-592); prim_type indexed arrays.meshes upstream.
+        from gpuraytracer_tpu.geometry import trimesh
+
+        return trimesh.intersect_trimesh(
+            o_loc, d_loc, mesh, t_min=t_min, t_max=t_max, cull_backface=cull
+        )
     if kind == IntersectorKind.ANALYTIC:
         if prim_type == AnalyticPrimitive.AABB:
             return analytic.intersect_hollow_aabb(
@@ -239,6 +247,7 @@ def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_
             step_scale=arrays.materials.step_scale[i],
             elapsed_time=arrays.constants.elapsed_time,
             gate=gate,
+            mesh=arrays.meshes[prim_type] if kind == IntersectorKind.TRIANGLE else None,
         )
         hit_i = hit_i & gate
         closer = hit_i & (t_i < best_t)
@@ -325,6 +334,7 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
             step_scale=arrays.materials.step_scale[i],
             elapsed_time=arrays.constants.elapsed_time,
             gate=gate,
+            mesh=arrays.meshes[prim_type] if kind == IntersectorKind.TRIANGLE else None,
         )
         occluded = occluded | (hit_i & gate)
 

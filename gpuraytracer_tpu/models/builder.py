@@ -56,6 +56,7 @@ class InstanceSpec:
 class SceneBuilder:
     def __init__(self):
         self._instances: List[InstanceSpec] = []
+        self._meshes: List = []
         self.camera: Camera = builtin.default_camera()
         self.light_position = builtin.LIGHT_POSITION
         self.light_ambient = builtin.LIGHT_AMBIENT
@@ -69,6 +70,42 @@ class SceneBuilder:
 
     def add_instance(self, spec: InstanceSpec) -> "SceneBuilder":
         self._instances.append(spec)
+        return self
+
+    def add_mesh_instance(
+        self,
+        positions,
+        indices,
+        material: Material,
+        *,
+        normals=None,
+        aabb_min: Tuple[float, float, float],
+        aabb_max: Tuple[float, float, float],
+        scale: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+        rotates: bool = False,
+        rotation_rate: float = builtin.ROTATION_RATE,
+    ) -> "SceneBuilder":
+        """Add an indexed-triangle-mesh instance (the triangle BLAS analog,
+        Renderer.cpp:575-592). Vertices live in the instance's local space,
+        like the procedural primitives; the mesh slot index becomes the
+        instance's prim_type."""
+        from gpuraytracer_tpu.geometry import trimesh
+
+        mesh = trimesh.from_indexed(positions, indices, normals)
+        slot = len(self._meshes)
+        self._meshes.append(mesh)
+        self._instances.append(
+            InstanceSpec(
+                kind=IntersectorKind.TRIANGLE,
+                prim_type=slot,
+                aabb_min=aabb_min,
+                aabb_max=aabb_max,
+                material=material,
+                scale=scale,
+                rotates=rotates,
+                rotation_rate=rotation_rate,
+            )
+        )
         return self
 
     def without_plane(self) -> "SceneBuilder":
@@ -171,6 +208,7 @@ class SceneBuilder:
             blas_offset=jnp.asarray(self.blas_offset, dtype=jnp.float32),
             plane_origin=jnp.asarray(self.plane_origin, dtype=jnp.float32),
             plane_size=jnp.asarray(self.plane_size, dtype=jnp.float32),
+            meshes=tuple(self._meshes),
         )
         return Scene(layout=self.layout, arrays=arrays)
 
