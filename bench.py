@@ -20,9 +20,24 @@ import time
 NORTH_STAR_MRAYS = 100.0
 
 
+def _setup_cache():
+    """Persistent compile cache: the two-phase scene kernels take minutes
+    of Mosaic compile at a fresh shape; cache hits make reruns instant."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: int = 2):
     import jax
     import numpy as np
+
+    _setup_cache()
 
     from gpuraytracer_tpu.models import builtin
     from gpuraytracer_tpu.render import trace

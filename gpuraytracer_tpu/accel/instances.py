@@ -43,6 +43,17 @@ class SceneLayout:
     kinds: Tuple[IntersectorKind, ...]  # per procedural instance
     prim_types: Tuple[int, ...]  # enum value within its kind
     has_plane: bool = True
+    # Optional two-level bounds hierarchy (accel/bvh.py): a static partition
+    # of instance indices into spatial clusters. None = flat traversal (the
+    # builtin scene's 10 instances need no hierarchy, like the reference's
+    # 2-instance TLAS). Built once per scene from the static BLAS-space
+    # AABBs — the driver-BLAS-build analog (Renderer.cpp:616-730).
+    clusters: Tuple[Tuple[int, ...], ...] | None = None
+    # Optional per-instance sphere-trace step budgets. None = the
+    # reference's 512 everywhere (SignedDistancePrimitives.hlsli:291).
+    # Framework-extension geometry (DE fractals) may choose smaller budgets;
+    # reference primitives must keep 512 for parity.
+    step_budgets: Tuple[int, ...] | None = None
 
     @property
     def num_procedural(self) -> int:

@@ -58,7 +58,7 @@ def intersect_plane(origins, directions, plane_origin, plane_size, *, t_min, t_m
     return hit, jnp.where(hit, t, jnp.inf)
 
 
-def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, step_scale, elapsed_time, gate, mesh=None):
+def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, step_scale, elapsed_time, gate, mesh=None, max_steps=None):
     """Static dispatch to the intersection kernel for one geometry — the
     lax.switch-free SBT analog (each geometry's kernel is known at trace
     time; Raytracing.hlsl:289-341)."""
@@ -100,6 +100,9 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
         # XLA wavefront path is the portable reference implementation.
         from gpuraytracer_tpu.kernels import megakernel
 
+        from gpuraytracer_tpu.core.types import SDF_MAX_STEPS
+
+        steps = SDF_MAX_STEPS if max_steps is None else int(max_steps)
         if megakernel.pallas_available() and o_loc.ndim == 3:
             t_max_arr = jnp.broadcast_to(
                 jnp.asarray(t_max, dtype=o_loc.dtype), o_loc.shape[:-1]
@@ -107,6 +110,7 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             return megakernel.sphere_trace_tiles(
                 o_loc, d_loc, gate, t_max_arr, step_scale,
                 prim_code=int(prim_type), cull_backface=cull,
+                max_steps=steps,
             )
         distance_fn = sdf.DISTANCE_FUNCTIONS[int(prim_type)]
         return sdf.sphere_trace(
@@ -118,6 +122,7 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             t_max=t_max,
             cull_backface=cull,
             active=gate,
+            max_steps=steps,
         )
     raise ValueError(f"no intersector for kind={kind} type={prim_type}")
 
@@ -167,7 +172,8 @@ def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max
     )
     best_t, normal, gid = scene_kernel.scene_closest_tiles(
         o_blas, d_blas, active, t0, *params,
-        geoms=geoms, cull_backface=cull_backface,
+        geoms=geoms, clusters=layout.clusters,
+        step_budgets=layout.step_budgets, cull_backface=cull_backface,
     )
     hit_proc = gid >= 0
     up = jnp.zeros_like(origins).at[..., 1].set(1.0)
@@ -248,6 +254,7 @@ def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_
             elapsed_time=arrays.constants.elapsed_time,
             gate=gate,
             mesh=arrays.meshes[prim_type] if kind == IntersectorKind.TRIANGLE else None,
+            max_steps=layout.step_budgets[i] if layout.step_budgets else None,
         )
         hit_i = hit_i & gate
         closer = hit_i & (t_i < best_t)
@@ -302,7 +309,9 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
         )
         _, _, gid = scene_kernel.scene_closest_tiles(
             o_blas, d_blas, active & ~hit_p, t0, *params,
-            geoms=geoms, cull_backface=True, accept_first=True,
+            geoms=geoms, clusters=layout.clusters,
+            step_budgets=layout.step_budgets,
+            cull_backface=True, accept_first=True,
         )
         return (hit_p | (gid >= 0)) & active
 
@@ -335,6 +344,7 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
             elapsed_time=arrays.constants.elapsed_time,
             gate=gate,
             mesh=arrays.meshes[prim_type] if kind == IntersectorKind.TRIANGLE else None,
+            max_steps=layout.step_budgets[i] if layout.step_budgets else None,
         )
         occluded = occluded | (hit_i & gate)
 

@@ -74,6 +74,10 @@ def _tile_march_kernel(
 
     zero = o.x * 0.0
     izero = zero.astype(jnp.int32)
+    # Result-identical retirement bound (geometry/sdf.march_escape_t).
+    from gpuraytracer_tpu.geometry.sdf import march_escape_t
+
+    t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
     # Masks ride the while carry as int32 — Mosaic cannot legalize i1
     # vector loop carries (scf.yield on vector<i1> fails).
     state0 = (
@@ -125,7 +129,7 @@ def _tile_march_kernel(
 
             moved = adv_resume | advance
             t = jnp.where(moved, t + step_scale * dist, t)
-            done = done | (moved & (t > t_max))
+            done = done | (moved & (t > t_escape))
             paused = paused | newly_paused
             resume = resume & ~adv_resume
         return (

@@ -44,6 +44,18 @@ TILE_COLS = 256
 _NORMAL_EPS = 0.5773 * 0.0001
 _MB_NORMAL_EPS = 0.5773 * 0.00001
 
+# Two-phase march scheme: pass 1 marches every tile with this per-lane step
+# budget; lanes that cap without resolving mark the tile dirty, and pass 2
+# re-traverses ONLY dirty tiles with the full reference budgets (512 SDF /
+# 128 metaball) using the inline-check marchers. Bit-identical to a single
+# full-budget pass (a march that resolves within the budget is a strict
+# prefix of the full march), but a tile's cost is bounded by its own
+# honest work instead of its worst crawl lane: invalid-crossing lanes
+# (step ~ 1e-4*t after a culled crossing, e.g. shadow rays leaving an SDF
+# surface) otherwise advance ~1 step per while iteration and hold all 2048
+# lanes hostage for 512 iterations. Measured on v5e at 1080p: 76 -> ~50 ms.
+PHASE_BUDGET = 64
+
 
 def _normal_at(distance_fn, p: V3) -> V3:
     e = _NORMAL_EPS
@@ -65,6 +77,12 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0
     izero = zero.astype(jnp.int32)
+    # Result-identical retirement bound: no crossing can exist past
+    # (|o| + R) / (|d| - alpha*threshold) — see geometry/sdf.march_escape_t.
+    # Sky/occlusion lanes with RayTCurrent 10000 stop ~100x sooner.
+    from gpuraytracer_tpu.geometry.sdf import march_escape_t
+
+    t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
     state0 = (zero, izero, jnp.where(gate, izero, izero + 1), izero, zero + inf)
 
     def cond(state):
@@ -100,22 +118,31 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
             steps = steps + jnp.where(fresh, 1, 0)
             moved = adv_resume | advance
             t = jnp.where(moved, t + step_scale * dist, t)
-            done = done | (moved & (t > t_max))
+            done = done | (moved & (t > t_escape))
             paused = paused | newly_paused
             resume = resume & ~adv_resume
         return t, steps, done.astype(jnp.int32), paused.astype(jnp.int32), t_hit
 
-    _, _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
+    _, steps_f, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
     # The winning hit's normal is recomputed in the kernel epilogue, only
     # for tiles this geometry actually won (pl.when) — computing it here
     # unconditionally cost ~40 distance evals per tile across the scene.
-    return t_hit < inf, t_hit
+    # capped: lanes that ran out of budget without resolving — meaningful
+    # only when max_steps is a phase budget below the geometry's real one
+    # (the two-phase dirty-tile scheme, see scene_closest_tiles).
+    capped = gate & (steps_f >= max_steps) & (t_hit == jnp.inf)
+    return t_hit < inf, t_hit, capped
 
 
 def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
-                     max_steps=METABALL_MAX_STEPS):
+                     max_steps=METABALL_MAX_STEPS,
+                     step_div=METABALL_MAX_STEPS):
     """Fixed-step isosurface march (VolumetricPrimitives.hlsli:151-202)
-    over one tile. balls: tuple of 3 (cx, cy, cz, r) scalar tuples."""
+    over one tile. balls: tuple of 3 (cx, cy, cz, r) scalar tuples.
+
+    step_div fixes the step SIZE divisor at the reference's 128 even when
+    max_steps is a smaller phase budget — a budgeted march must be a strict
+    prefix of the full march, not a coarser one."""
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0
 
@@ -143,7 +170,7 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
         tmax_u = jnp.where(has, jnp.maximum(jnp.minimum(t1, t_max), tmax_u), tmax_u)
     tmin = jnp.maximum(tmin, 0.0)
     tmax_u = jnp.minimum(tmax_u, t_max)
-    step = (tmax_u - tmin) / float(max_steps)
+    step = (tmax_u - tmin) / float(step_div)
 
     izero = zero.astype(jnp.int32)
     # Lanes whose ray misses every bounding sphere have an empty interval
@@ -189,8 +216,109 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
             resume = resume & ~adv_resume
         return t, steps, done.astype(jnp.int32), paused.astype(jnp.int32), t_hit
 
-    _, _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
+    _, steps_f, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
     # Normal deferred to the kernel epilogue (see _march_sdf).
+    capped = live & (steps_f >= max_steps) & (t_hit == jnp.inf)
+    return t_hit < inf, t_hit, capped
+
+
+def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
+                      unroll=8, max_steps=SDF_MAX_STEPS, cull_backface=True):
+    """Direct transcription of RaySignedDistancePrimitiveTest
+    (SignedDistancePrimitives.hlsli:287-319): the validity check (4-eval
+    tetrahedral normal + cull + range) runs INLINE at every step, so
+    invalid-crossing "crawl" lanes advance every micro-step instead of one
+    step per while iteration. 5 distance evals per micro-step for the whole
+    tile — used only for the dirty-tile finisher pass where crawl lanes
+    dominate (the two-phase marcher is cheaper everywhere else)."""
+    inf = jnp.float32(jnp.inf)
+    zero = o.x * 0.0
+    izero = zero.astype(jnp.int32)
+    from gpuraytracer_tpu.geometry.sdf import march_escape_t
+
+    t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
+    state0 = (zero, izero, jnp.where(gate, izero, izero + 1), zero + inf)
+
+    def cond(state):
+        _, _, done_i, _ = state
+        return jnp.any(done_i == 0)
+
+    def body(state):
+        t, steps, done_i, t_hit = state
+        done = done_i != 0
+        for _ in range(unroll):
+            marching = ~done
+            pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+            dist = distance_fn(pos)
+            crossed = dist <= SDF_HIT_THRESHOLD * t
+            n = _normal_at(distance_fn, pos)
+            facing_ok = (d.dot(n) <= 0.0) if cull_backface else (t == t)
+            in_range = (t >= 0.0) & (t <= t_max)
+            valid = marching & crossed & facing_ok & in_range
+            t_hit = jnp.where(valid, t, t_hit)
+            done = done | valid
+            move = marching & ~valid
+            t = jnp.where(move, t + step_scale * dist, t)
+            steps = steps + jnp.where(marching, 1, 0)
+            done = done | (marching & ((steps >= max_steps) | (t > t_escape)))
+        return t, steps, done.astype(jnp.int32), t_hit
+
+    _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
+    return t_hit < inf, t_hit
+
+
+def _march_metaballs_inline(o: V3, d: V3, gate, t_max, balls, unroll=8,
+                            max_steps=METABALL_MAX_STEPS):
+    """Inline-check metaball march (VolumetricPrimitives.hlsli:151-202
+    transcription) for the dirty-tile finisher — see _march_sdf_inline."""
+    inf = jnp.float32(jnp.inf)
+    zero = o.x * 0.0
+
+    def potential(p: V3):
+        total = p.x * 0.0
+        for cx, cy, cz, r in balls:
+            total = total + soa.metaball_potential_soa(p, cx, cy, cz, r)
+        return total
+
+    tmin = zero + inf
+    tmax_u = zero - inf
+    for cx, cy, cz, r in balls:
+        has, t0, t1 = soa.solve_sphere(o, d, cx, cy, cz, r)
+        tmin = jnp.where(has, jnp.minimum(jnp.maximum(t0, 0.0), tmin), tmin)
+        tmax_u = jnp.where(has, jnp.maximum(jnp.minimum(t1, t_max), tmax_u), tmax_u)
+    tmin = jnp.maximum(tmin, 0.0)
+    tmax_u = jnp.minimum(tmax_u, t_max)
+    step = (tmax_u - tmin) / float(max_steps)
+
+    izero = zero.astype(jnp.int32)
+    live = gate & (tmax_u >= tmin)
+    state0 = (tmin, izero, jnp.where(live, izero, izero + 1), zero + inf)
+
+    def cond(state):
+        _, _, done_i, _ = state
+        return jnp.any(done_i == 0)
+
+    def body(state):
+        t, steps, done_i, t_hit = state
+        done = done_i != 0
+        for _ in range(unroll):
+            marching = ~done
+            pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+            total = potential(pos)
+            crossed = total >= METABALL_ISO_THRESHOLD
+            n = _metaball_normal(pos, balls)
+            facing_ok = d.dot(n) <= 0.0
+            in_range = (t >= 0.0) & (t <= t_max)
+            valid = marching & crossed & facing_ok & in_range
+            t_hit = jnp.where(valid, t, t_hit)
+            done = done | valid
+            move = marching & ~valid
+            t = jnp.where(move, t + step, t)
+            steps = steps + jnp.where(marching, 1, 0)
+            done = done | (marching & (steps >= max_steps))
+        return t, steps, done.astype(jnp.int32), t_hit
+
+    _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
     return t_hit < inf, t_hit
 
 
@@ -211,22 +339,71 @@ def _metaball_normal(p: V3, balls) -> V3:
 
 def _scene_kernel(
     geoms: Tuple[Tuple[int, int], ...],
+    clusters: Tuple[Tuple[int, ...], ...],
+    step_budgets: Tuple[int, ...],
     cull_backface: bool,
     accept_first: bool,
-    # refs
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    active_ref, t0_ref,
-    b2l_ref,  # (G, 12) SMEM: blas->local rows
-    l2b_ref,  # (G, 9) SMEM: local->blas rotation rows (normal transform)
-    sscale_ref,  # (G, 1) SMEM step scales
-    aabb_ref,  # (G, 6) SMEM: min xyz, max xyz (BLAS space)
-    mb_ref,  # (3, 4) SMEM: metaball centers + radii
-    thit_ref, nx_ref, ny_ref, nz_ref, gid_ref,
+    phase: str,  # "single" | "main" | "finish" (two-phase dirty-tile scheme)
+    # refs — layout depends on phase:
+    #   single: 8 ray planes, 5 SMEM tables, 5 outputs
+    #   main:   8 ray planes, 5 SMEM tables, 5 outputs + dirty plane output
+    #   finish: 8 ray planes, 5 SMEM tables, dirty + 5 pass-1 planes, 5 outs
+    *refs,
 ):
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     active_ref, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
+     *rest) = refs
+    if phase == "finish":
+        (dirty_ref, p_thit_ref, p_nx_ref, p_ny_ref, p_nz_ref, p_gid_ref,
+         thit_ref, nx_ref, ny_ref, nz_ref, gid_ref) = rest
+    elif phase == "main":
+        thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref = rest
+    else:
+        thit_ref, nx_ref, ny_ref, nz_ref, gid_ref = rest
+        dirty_ref = None
+
     o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
     d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
     active = active_ref[:] != 0
+    zero = o.x * 0.0
 
+    if phase == "finish":
+        # Clean tiles keep their pass-1 results untouched; only tiles where
+        # a budgeted march capped (dirty) re-traverse from scratch with the
+        # full budgets and the inline-check marchers.
+        thit_ref[:] = p_thit_ref[:]
+        nx_ref[:] = p_nx_ref[:]
+        ny_ref[:] = p_ny_ref[:]
+        nz_ref[:] = p_nz_ref[:]
+        gid_ref[:] = p_gid_ref[:]
+        tile_dirty = jnp.any(dirty_ref[:] != 0)
+
+        def finish_tile():
+            _traverse_tile(
+                geoms, clusters, step_budgets, cull_backface, accept_first,
+                "finish", o, d, active, t0_ref, b2l_ref, l2b_ref, sscale_ref,
+                aabb_ref, mb_ref, thit_ref, nx_ref, ny_ref, nz_ref, gid_ref,
+                None,
+            )
+
+        pl.when(tile_dirty)(finish_tile)
+        return
+
+    if phase == "main":
+        dirty_ref[:] = zero.astype(jnp.int32)
+
+    _traverse_tile(
+        geoms, clusters, step_budgets, cull_backface, accept_first, phase,
+        o, d, active, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
+        thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref,
+    )
+
+
+def _traverse_tile(
+    geoms, clusters, step_budgets, cull_backface, accept_first, phase,
+    o, d, active, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
+    thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref,
+):
     # Closest-hit state lives in the OUTPUT refs so each geometry's entire
     # body (local transform + intersector + reduction) can sit under a
     # pl.when tile predicate: a tile whose slab gate admits no lane skips
@@ -239,7 +416,7 @@ def _scene_kernel(
     nz_ref[:] = zero
     gid_ref[:] = zero.astype(jnp.int32) - 1
 
-    for g, (kind, code) in enumerate(geoms):
+    def handle_geometry(g, kind, code):
         # Extension DE fractals (codes past the reference's 0..6) skip the
         # back-face cull: their rough boundaries make the tetrahedral
         # normal noisy, turning the cull check into a resume-crawl. The
@@ -296,17 +473,43 @@ def _scene_kernel(
 
             if kind == int(IntersectorKind.SIGNED_DISTANCE):
                 distance_fn = soa.DISTANCE_FUNCTIONS_SOA[int(code)]
-                hit, t = _march_sdf(
-                    distance_fn, o_loc, d_loc, gate, best_t, sscale_ref[g, 0],
-                    cull_backface=cull_g,
-                )
+                if phase == "finish":
+                    hit, t = _march_sdf_inline(
+                        distance_fn, o_loc, d_loc, gate, best_t,
+                        sscale_ref[g, 0], cull_backface=cull_g,
+                        max_steps=step_budgets[g],
+                    )
+                else:
+                    budget = step_budgets[g]
+                    if phase == "main":
+                        budget = min(PHASE_BUDGET, budget)
+                    hit, t, capped = _march_sdf(
+                        distance_fn, o_loc, d_loc, gate, best_t,
+                        sscale_ref[g, 0], cull_backface=cull_g,
+                        max_steps=budget,
+                    )
+                    if phase == "main" and budget < step_budgets[g]:
+                        dirty_ref[:] = dirty_ref[:] | capped.astype(jnp.int32)
                 n_world = None  # normal deferred to the pl.when epilogue
             elif kind == int(IntersectorKind.VOLUMETRIC):
                 balls = tuple(
                     (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
                     for j in range(3)
                 )
-                hit, t = _march_metaballs(o_loc, d_loc, gate, best_t, balls)
+                if phase == "finish":
+                    hit, t = _march_metaballs_inline(
+                        o_loc, d_loc, gate, best_t, balls
+                    )
+                else:
+                    budget = METABALL_MAX_STEPS
+                    if phase == "main":
+                        budget = min(PHASE_BUDGET, budget)
+                    hit, t, capped = _march_metaballs(
+                        o_loc, d_loc, gate, best_t, balls, max_steps=budget,
+                        step_div=METABALL_MAX_STEPS,
+                    )
+                    if phase == "main" and budget < METABALL_MAX_STEPS:
+                        dirty_ref[:] = dirty_ref[:] | capped.astype(jnp.int32)
                 n_world = None
             elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.AABB):
                 hit, t, n_loc = soa.intersect_hollow_aabb(
@@ -339,6 +542,36 @@ def _scene_kernel(
                     nz_ref[:] = jnp.where(closer, n_world[2], nz_ref[:])
 
         pl.when(jnp.any(gate))(process)
+
+    g_count = len(geoms)
+    if len(clusters) == 1:
+        # Flat traversal: one implicit cluster needs no extra gate.
+        for g, (kind, code) in enumerate(geoms):
+            handle_geometry(g, kind, code)
+    else:
+        # Two-level traversal (accel/bvh.py): one slab test against the
+        # cluster's merged AABB gates ALL member geometry — a tile that
+        # misses the cluster pays a single test for the whole group. The
+        # tile's shrinking best_t bounds cluster gates exactly like
+        # geometry gates (closer cluster hits reject farther clusters).
+        for k, members in enumerate(clusters):
+            row = g_count + k
+            tmin_c, tmax_c = soa.aabb_interval(
+                o, d,
+                aabb_ref[row, 0], aabb_ref[row, 1], aabb_ref[row, 2],
+                aabb_ref[row, 3], aabb_ref[row, 4], aabb_ref[row, 5],
+            )
+            gate_c = (
+                (tmax_c > tmin_c) & (tmax_c >= 0.0)
+                & (tmin_c <= thit_ref[:]) & active
+            )
+
+            def process_cluster(members=members):
+                for g in members:
+                    kind, code = geoms[g]
+                    handle_geometry(g, kind, code)
+
+            pl.when(jnp.any(gate_c))(process_cluster)
 
     best_t = thit_ref[:]
     best_id = gid_ref[:]
@@ -402,7 +635,7 @@ def _scene_kernel(
             pl.when(jnp.any(won))(epilogue)
 
 
-@functools.partial(jax.jit, static_argnames=("geoms", "cull_backface", "accept_first", "interpret"))
+@functools.partial(jax.jit, static_argnames=("geoms", "clusters", "step_budgets", "cull_backface", "accept_first", "two_phase", "interpret"))
 def scene_closest_tiles(
     o_blas,  # (H, W, 3)
     d_blas,  # (H, W, 3)
@@ -415,13 +648,20 @@ def scene_closest_tiles(
     mb_params,  # (3, 4) f32 (centers + radii; zeros if unused)
     *,
     geoms: Tuple[Tuple[int, int], ...],
+    clusters: Tuple[Tuple[int, ...], ...] | None = None,
+    step_budgets: Tuple[int, ...] | None = None,
     cull_backface: bool = True,
     accept_first: bool = False,
+    two_phase: bool = True,
     interpret: bool = False,
 ):
     """Returns (best_t, normal (H,W,3), geom_id (H,W) int32; -1 where no
     procedural hit beat t0). With accept_first (occlusion queries) only
-    geom_id >= 0 is meaningful."""
+    geom_id >= 0 is meaningful.
+
+    two_phase: budgeted pass + dirty-tile finisher (see PHASE_BUDGET);
+    bit-identical to the single full-budget pass, much faster when crawl
+    lanes exist. Disabled automatically when no march geometry needs it."""
     h, w = active.shape
     ph = (-h) % TILE_ROWS
     pw = (-w) % TILE_COLS
@@ -446,35 +686,86 @@ def scene_closest_tiles(
         return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
 
     g = len(geoms)
-    kernel = functools.partial(_scene_kernel, tuple(geoms), cull_backface, accept_first)
+    if step_budgets is None:
+        step_budgets = (SDF_MAX_STEPS,) * g
+    if clusters is None:
+        clusters = (tuple(range(g)),)
+    if len(clusters) > 1:
+        # Append the merged cluster AABBs as extra SMEM rows.
+        cl_min = jnp.stack(
+            [jnp.min(aabbs[list(c), :3], axis=0) for c in clusters]
+        )
+        cl_max = jnp.stack(
+            [jnp.max(aabbs[list(c), 3:], axis=0) for c in clusters]
+        )
+        aabbs = jnp.concatenate(
+            [aabbs, jnp.concatenate([cl_min, cl_max], axis=-1)], axis=0
+        )
+    # Two-phase pays off only when some march budget exceeds PHASE_BUDGET.
+    marchable = any(
+        (k == int(IntersectorKind.SIGNED_DISTANCE) and step_budgets[i] > PHASE_BUDGET)
+        or (k == int(IntersectorKind.VOLUMETRIC) and METABALL_MAX_STEPS > PHASE_BUDGET)
+        for i, (k, _) in enumerate(geoms)
+    )
+    two_phase = two_phase and marchable
+
     f32 = jnp.float32
     # Under shard_map the outputs must declare their varying mesh axes;
     # inherit them from the ray planes (empty outside shard_map).
     vma = getattr(jax.typeof(planes[0]), "vma", None)
     kw = {"vma": vma} if vma else {}
-    thit, nx, ny, nz, gid = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[tile_spec] * 8 + [
-            smem((g, 12)), smem((g, 9)), smem((g, 1)), smem((g, 6)), smem((3, 4)),
-        ],
-        out_specs=[tile_spec] * 5,
-        out_shape=[
-            jax.ShapeDtypeStruct((hp, wp), f32, **kw),
-            jax.ShapeDtypeStruct((hp, wp), f32, **kw),
-            jax.ShapeDtypeStruct((hp, wp), f32, **kw),
-            jax.ShapeDtypeStruct((hp, wp), f32, **kw),
-            jax.ShapeDtypeStruct((hp, wp), jnp.int32, **kw),
-        ],
-        interpret=interpret,
-    )(
-        *planes,
+    smem_args = (
         b2l_rows.astype(f32),
         l2b_rot.astype(f32),
         step_scales.astype(f32).reshape(g, 1),
         aabbs.astype(f32),
         mb_params.astype(f32),
     )
+    smem_specs = [
+        smem((g, 12)), smem((g, 9)), smem((g, 1)),
+        smem((aabbs.shape[0], 6)), smem((3, 4)),
+    ]
+    out5 = [
+        jax.ShapeDtypeStruct((hp, wp), f32, **kw),
+        jax.ShapeDtypeStruct((hp, wp), f32, **kw),
+        jax.ShapeDtypeStruct((hp, wp), f32, **kw),
+        jax.ShapeDtypeStruct((hp, wp), f32, **kw),
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32, **kw),
+    ]
+
+    def make_kernel(phase):
+        return functools.partial(
+            _scene_kernel, tuple(geoms), tuple(clusters), tuple(step_budgets),
+            cull_backface, accept_first, phase,
+        )
+
+    if not two_phase:
+        thit, nx, ny, nz, gid = pl.pallas_call(
+            make_kernel("single"),
+            grid=grid,
+            in_specs=[tile_spec] * 8 + smem_specs,
+            out_specs=[tile_spec] * 5,
+            out_shape=out5,
+            interpret=interpret,
+        )(*planes, *smem_args)
+    else:
+        i32_out = jax.ShapeDtypeStruct((hp, wp), jnp.int32, **kw)
+        thit1, nx1, ny1, nz1, gid1, dirty = pl.pallas_call(
+            make_kernel("main"),
+            grid=grid,
+            in_specs=[tile_spec] * 8 + smem_specs,
+            out_specs=[tile_spec] * 6,
+            out_shape=out5 + [i32_out],
+            interpret=interpret,
+        )(*planes, *smem_args)
+        thit, nx, ny, nz, gid = pl.pallas_call(
+            make_kernel("finish"),
+            grid=grid,
+            in_specs=[tile_spec] * 8 + smem_specs + [tile_spec] * 6,
+            out_specs=[tile_spec] * 5,
+            out_shape=out5,
+            interpret=interpret,
+        )(*planes, *smem_args, dirty, thit1, nx1, ny1, nz1, gid1)
 
     normal = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
     return thit[:h, :w], normal, gid[:h, :w]

@@ -51,6 +51,11 @@ class InstanceSpec:
     scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     rotates: bool = False
     rotation_rate: float = builtin.ROTATION_RATE  # rad/s about +Y
+    # Sphere-trace step budget. None = the reference's 512
+    # (SignedDistancePrimitives.hlsli:291) — REQUIRED for reference-parity
+    # primitives. Framework-extension geometry (DE fractals) may choose a
+    # smaller budget suited to its distance estimator.
+    step_budget: int | None = None
 
 
 class SceneBuilder:
@@ -114,10 +119,30 @@ class SceneBuilder:
 
     @property
     def layout(self) -> SceneLayout:
+        from gpuraytracer_tpu.accel import bvh
+
+        clusters = None
+        if bvh.should_cluster(len(self._instances)):
+            # Two-level bounds hierarchy over the static instance AABBs —
+            # the BLAS-build analog, host-side, once per scene.
+            clusters = bvh.build_clusters(
+                np.asarray([s.aabb_min for s in self._instances]),
+                np.asarray([s.aabb_max for s in self._instances]),
+            )
+        budgets = None
+        if any(s.step_budget is not None for s in self._instances):
+            from gpuraytracer_tpu.core.types import SDF_MAX_STEPS
+
+            budgets = tuple(
+                SDF_MAX_STEPS if s.step_budget is None else int(s.step_budget)
+                for s in self._instances
+            )
         return SceneLayout(
             kinds=tuple(s.kind for s in self._instances),
             prim_types=tuple(int(s.prim_type) for s in self._instances),
             has_plane=self.plane_material is not None,
+            clusters=clusters,
+            step_budgets=budgets,
         )
 
     def _material_table(self) -> MaterialTable:

@@ -80,6 +80,34 @@ def test_interior_pixels_match_tightly(rays_and_scene):
     assert np.quantile(td, 0.99) < 1e-3
 
 
+def test_two_phase_bit_identical(rays_and_scene):
+    """The budgeted-pass + dirty-tile-finisher scheme must equal the single
+    full-budget pass BIT FOR BIT (scene_kernel.PHASE_BUDGET design
+    invariant: a march that resolves within budget is a strict prefix of
+    the full march; capped tiles re-traverse from scratch)."""
+    o, d, scene = rays_and_scene
+    arrays, layout = scene.arrays, scene.layout
+    active = jnp.ones((H, W), bool)
+    hit_p, t_p = traverse.intersect_plane(
+        o, d, arrays.plane_origin, arrays.plane_size, t_min=0.0, t_max=RAY_TMAX
+    )
+    t0 = jnp.where(hit_p & active, t_p, RAY_TMAX)
+    ob, db = ray_to_blas(o, d, arrays.blas_offset)
+    params = scene_kernel.pack_params(arrays, arrays.constants.elapsed_time)
+    geoms = tuple(
+        (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
+    )
+    t2, n2, g2 = scene_kernel.scene_closest_tiles(
+        ob, db, active, t0, *params, geoms=geoms, two_phase=True, interpret=True
+    )
+    t1, n1, g1 = scene_kernel.scene_closest_tiles(
+        ob, db, active, t0, *params, geoms=geoms, two_phase=False, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
 def test_plane_id_merging(rays_and_scene):
     o, d, scene = rays_and_scene
     _, _, gid = _run_kernel(o, d, scene)
