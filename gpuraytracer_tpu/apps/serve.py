@@ -39,6 +39,9 @@ class PreviewState:
         self.lock = threading.Lock()
         self.png_bytes: bytes = b""
         self.status: str = "rendering first frame..."
+        # Resize requested over HTTP; applied by the render thread between
+        # frames (the WM_SIZE-on-the-message-thread analog).
+        self.pending_size = None
 
 
 def render_loop(state: PreviewState, width: int, height: int, platform: str):
@@ -48,26 +51,24 @@ def render_loop(state: PreviewState, width: int, height: int, platform: str):
         jax.config.update("jax_platforms", platform)
     import numpy as np
 
-    from gpuraytracer_tpu.accel.instances import Scene
-    from gpuraytracer_tpu.models import builtin
-    from gpuraytracer_tpu.render import trace
+    from gpuraytracer_tpu.render.renderer import Renderer
     from gpuraytracer_tpu.utils import png as png_mod
     from gpuraytracer_tpu.utils.stats import FrameStats
-    import jax.numpy as jnp
 
-    scene0 = builtin.build_scene(aspect=width / height, elapsed_time=0.0)
-    layout = scene0.layout
-
-    @jax.jit
-    def step(arrays, t):
-        arrays = builtin.animate_arrays(arrays, t)
-        return trace.render_frame(Scene(layout, arrays), width, height)
-
+    renderer = Renderer(width, height)
     stats = FrameStats(width, height)
     t0 = time.monotonic()
     while True:
+        with state.lock:
+            pending = state.pending_size
+            state.pending_size = None
+        if pending:
+            # Window.on_size_changed -> Renderer::on_size_changed chain:
+            # rebuilds camera constants + the size-baked frame program.
+            renderer.resize(*pending)
+            stats = FrameStats(*renderer.size)
         t = time.monotonic() - t0
-        img = np.asarray(step(scene0.arrays, t))
+        img = np.asarray(renderer.render(t))
         data = png_mod.encode_png(png_mod.image_f32_to_rgba8(img))
         snap = stats.frame_rendered()
         with state.lock:
@@ -91,6 +92,25 @@ def make_handler(state: PreviewState):
                 self.send_header("Cache-Control", "no-store")
                 self.end_headers()
                 self.wfile.write(data)
+            elif self.path.startswith("/resize"):
+                # /resize?w=640&h=360 — the WM_SIZE analog.
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    w = int(q["w"][0])
+                    h = int(q["h"][0])
+                    assert 8 <= w <= 7680 and 8 <= h <= 4320
+                except (KeyError, ValueError, AssertionError):
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                with state.lock:
+                    state.pending_size = (w, h)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                self.wfile.write(f"resizing to {w}x{h}".encode())
             elif self.path.startswith("/stats"):
                 with state.lock:
                     status = state.status

@@ -48,108 +48,31 @@ def _tile_march_kernel(
     gate_ref, tmax_ref, scale_ref,
     thit_ref, nx_ref, ny_ref, nz_ref,
 ):
+    """Single-geometry tile march. The ONE marcher implementation lives in
+    scene_kernel._march_sdf (VERDICT round-1 item 10 folded the duplicate);
+    this kernel adds only the hit-normal epilogue the whole-scene kernel
+    defers to its winner pass."""
+    from gpuraytracer_tpu.kernels.scene_kernel import _march_sdf, _normal_at
+
     o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
     d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
     gate = gate_ref[:] != 0
     t_max = tmax_ref[:]
     step_scale = scale_ref[0, 0]
-
-    t_min = 0.0
     inf = jnp.float32(jnp.inf)
 
-    def normal_at(p: V3) -> V3:
-        e = _NORMAL_EPS
-        # Tetrahedral offsets (+,-,-) (-,-,+) (-,+,-) (+,+,+), matching
-        # sdf.calculate_normal.
-        d1 = distance_fn(V3(p.x + e, p.y - e, p.z - e))
-        d2 = distance_fn(V3(p.x - e, p.y - e, p.z + e))
-        d3 = distance_fn(V3(p.x - e, p.y + e, p.z - e))
-        d4 = distance_fn(V3(p.x + e, p.y + e, p.z + e))
-        n = V3(
-            e * d1 - e * d2 - e * d3 + e * d4,
-            -e * d1 - e * d2 + e * d3 + e * d4,
-            -e * d1 + e * d2 - e * d3 + e * d4,
-        )
-        return n.normalized()
-
-    zero = o.x * 0.0
-    izero = zero.astype(jnp.int32)
-    # Result-identical retirement bound (geometry/sdf.march_escape_t).
-    from gpuraytracer_tpu.geometry.sdf import march_escape_t
-
-    t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
-    # Masks ride the while carry as int32 — Mosaic cannot legalize i1
-    # vector loop carries (scf.yield on vector<i1> fails).
-    state0 = (
-        zero + t_min,  # t
-        izero,  # steps
-        jnp.where(gate, izero, izero + 1),  # done
-        izero,  # paused
-        zero + inf,  # t_hit
+    _, t_hit, _ = _march_sdf(
+        distance_fn, o, d, gate, t_max, step_scale,
+        unroll=unroll, max_steps=max_steps, cull_backface=cull_backface,
     )
-
-    def cond(state):
-        _, _, done_i, _, _ = state
-        return jnp.any(done_i == 0)
-
-    def body(state):
-        t, steps, done_i, paused_i, t_hit = state
-        done = done_i != 0
-        paused = paused_i != 0
-
-        # Validity check for lanes paused at a crossing. Unlike the XLA
-        # path this runs unconditionally (Mosaic cannot legalize an scf.if
-        # with vector results); the cost — 4 distance evals — is amortized
-        # over the `unroll` micro-steps below and masked lanes are no-ops.
-        pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
-        n = normal_at(pos)
-        facing_ok = (d.dot(n) <= 0.0) if cull_backface else (t == t)
-        in_range = (t >= t_min) & (t <= t_max)
-        valid = paused & facing_ok & in_range
-        t_hit = jnp.where(valid, t, t_hit)
-        done = done | valid
-
-        resume = paused & ~done
-        paused = paused & ~paused
-
-        for _ in range(unroll):
-            marching = ~done & ~paused
-            pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
-            dist = distance_fn(pos)
-
-            adv_resume = marching & resume
-            fresh = marching & ~resume & (steps < max_steps)
-            out_of_steps = marching & ~resume & (steps >= max_steps)
-            done = done | out_of_steps
-
-            crossed = dist <= SDF_HIT_THRESHOLD * t
-            newly_paused = fresh & crossed
-            advance = fresh & ~crossed
-            steps = steps + jnp.where(fresh, 1, 0)
-
-            moved = adv_resume | advance
-            t = jnp.where(moved, t + step_scale * dist, t)
-            done = done | (moved & (t > t_escape))
-            paused = paused | newly_paused
-            resume = resume & ~adv_resume
-        return (
-            t,
-            steps,
-            done.astype(jnp.int32),
-            paused.astype(jnp.int32),
-            t_hit,
-        )
-
-    _, _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
 
     hit = t_hit < inf
-    pos_hit = V3(o.x + t_hit * d.x, o.y + t_hit * d.y, o.z + t_hit * d.z)
     safe = V3(
-        jnp.where(hit, pos_hit.x, 0.0),
-        jnp.where(hit, pos_hit.y, 0.0),
-        jnp.where(hit, pos_hit.z, 0.0),
+        jnp.where(hit, o.x + t_hit * d.x, 0.0),
+        jnp.where(hit, o.y + t_hit * d.y, 0.0),
+        jnp.where(hit, o.z + t_hit * d.z, 0.0),
     )
-    n = normal_at(safe)
+    n = _normal_at(distance_fn, safe)
     thit_ref[:] = jnp.where(hit, t_hit, inf)
     nx_ref[:] = n.x
     ny_ref[:] = n.y

@@ -337,6 +337,135 @@ def _metaball_normal(p: V3, balls) -> V3:
     ).normalized()
 
 
+def _dirty_bit(g: int) -> int:
+    """Geometry -> dirty-mask bit. Geometries past 31 share bit 31 (their
+    finisher re-marches all of them for lanes with that bit — correct,
+    just coarser)."""
+    return min(g, 31)
+
+
+def _local_ray(b2l_ref, g, o: V3, d: V3):
+    """BLAS -> unit-AABB local space (Raytracing.hlsl:277-287), matrix rows
+    as SMEM scalars."""
+    def row(r, vx, vy, vz, w=None):
+        out = (
+            b2l_ref[g, 4 * r + 0] * vx
+            + b2l_ref[g, 4 * r + 1] * vy
+            + b2l_ref[g, 4 * r + 2] * vz
+        )
+        if w is not None:
+            out = out + b2l_ref[g, 4 * r + 3]
+        return out
+
+    o_loc = V3(row(0, o.x, o.y, o.z, 1), row(1, o.x, o.y, o.z, 1),
+               row(2, o.x, o.y, o.z, 1))
+    d_loc = V3(row(0, d.x, d.y, d.z), row(1, d.x, d.y, d.z),
+               row(2, d.x, d.y, d.z))
+    return o_loc, d_loc
+
+
+def _finish_tile(
+    geoms, step_budgets, cull_backface, accept_first,
+    o, d, active, dirty_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
+    thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, upd_ref,
+):
+    """Pass 2 of the two-phase scheme: re-march ONLY (lane, geometry) pairs
+    whose pass-1 march capped at the phase budget, at full budgets, with
+    the inline-check marchers (crawl lanes advance every micro-step).
+    Outputs arrive pre-seeded with pass-1 results; t_max = current best_t
+    prunes exactly. upd_ref tracks lanes whose winner changed so the
+    normal epilogue only recomputes those."""
+    dirty_bits = dirty_ref[:]
+
+    for g, (kind, code) in enumerate(geoms):
+        if kind not in (
+            int(IntersectorKind.SIGNED_DISTANCE),
+            int(IntersectorKind.VOLUMETRIC),
+        ):
+            continue
+        lane_dirty = ((dirty_bits >> _dirty_bit(g)) & 1) != 0
+        gate0 = lane_dirty & active
+        if accept_first:
+            gate0 = gate0 & (gid_ref[:] < 0)
+
+        def process(g=g, kind=kind, code=code, gate0=gate0):
+            best_t = thit_ref[:]
+            tmin_g, tmax_g = soa.aabb_interval(
+                o, d,
+                aabb_ref[g, 0], aabb_ref[g, 1], aabb_ref[g, 2],
+                aabb_ref[g, 3], aabb_ref[g, 4], aabb_ref[g, 5],
+            )
+            gate = gate0 & (tmax_g > tmin_g) & (tmax_g >= 0.0) & (tmin_g <= best_t)
+            o_loc, d_loc = _local_ray(b2l_ref, g, o, d)
+            cull_g = cull_backface and not (
+                kind == int(IntersectorKind.SIGNED_DISTANCE) and int(code) >= 7
+            )
+            if kind == int(IntersectorKind.SIGNED_DISTANCE):
+                hit, t = _march_sdf_inline(
+                    soa.DISTANCE_FUNCTIONS_SOA[int(code)], o_loc, d_loc, gate,
+                    best_t, sscale_ref[g, 0], cull_backface=cull_g,
+                    max_steps=step_budgets[g],
+                )
+            else:
+                balls = tuple(
+                    (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
+                    for j in range(3)
+                )
+                hit, t = _march_metaballs_inline(o_loc, d_loc, gate, best_t, balls)
+
+            closer = hit & gate & (t < best_t)
+            new_t = jnp.where(closer, t, best_t)
+            if accept_first:
+                new_gid = jnp.where(closer, g, gid_ref[:])
+                thit_ref[:] = jnp.where(new_gid >= 0, 0.0, new_t)
+                gid_ref[:] = new_gid
+            else:
+                thit_ref[:] = new_t
+                gid_ref[:] = jnp.where(closer, g, gid_ref[:])
+                upd_ref[:] = upd_ref[:] | closer.astype(jnp.int32)
+
+        pl.when(jnp.any(gate0))(process)
+
+    # Normal epilogue: only lanes whose winner changed in this pass.
+    if not accept_first:
+        best_t = thit_ref[:]
+        best_id = gid_ref[:]
+        updated = upd_ref[:] != 0
+        for g, (kind, code) in enumerate(geoms):
+            if kind not in (
+                int(IntersectorKind.SIGNED_DISTANCE),
+                int(IntersectorKind.VOLUMETRIC),
+            ):
+                continue
+            won = (best_id == g) & updated
+
+            def epilogue(g=g, kind=kind, code=code, won=won):
+                o_loc, d_loc = _local_ray(b2l_ref, g, o, d)
+                t_won = jnp.where(won, best_t, 0.0)
+                pos = V3(
+                    o_loc.x + t_won * d_loc.x,
+                    o_loc.y + t_won * d_loc.y,
+                    o_loc.z + t_won * d_loc.z,
+                )
+                if kind == int(IntersectorKind.SIGNED_DISTANCE):
+                    n_loc = _normal_at(soa.DISTANCE_FUNCTIONS_SOA[int(code)], pos)
+                else:
+                    balls = tuple(
+                        (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
+                        for j in range(3)
+                    )
+                    n_loc = _metaball_normal(pos, balls)
+                nwx = l2b_ref[g, 0] * n_loc.x + l2b_ref[g, 1] * n_loc.y + l2b_ref[g, 2] * n_loc.z
+                nwy = l2b_ref[g, 3] * n_loc.x + l2b_ref[g, 4] * n_loc.y + l2b_ref[g, 5] * n_loc.z
+                nwz = l2b_ref[g, 6] * n_loc.x + l2b_ref[g, 7] * n_loc.y + l2b_ref[g, 8] * n_loc.z
+                inv = 1.0 / jnp.sqrt(jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz, 1e-30))
+                nx_ref[:] = jnp.where(won, nwx * inv, nx_ref[:])
+                ny_ref[:] = jnp.where(won, nwy * inv, ny_ref[:])
+                nz_ref[:] = jnp.where(won, nwz * inv, nz_ref[:])
+
+            pl.when(jnp.any(won))(epilogue)
+
+
 def _scene_kernel(
     geoms: Tuple[Tuple[int, int], ...],
     clusters: Tuple[Tuple[int, ...], ...],
@@ -355,7 +484,7 @@ def _scene_kernel(
      *rest) = refs
     if phase == "finish":
         (dirty_ref, p_thit_ref, p_nx_ref, p_ny_ref, p_nz_ref, p_gid_ref,
-         thit_ref, nx_ref, ny_ref, nz_ref, gid_ref) = rest
+         thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, _upd_scratch) = rest
     elif phase == "main":
         thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref = rest
     else:
@@ -368,22 +497,25 @@ def _scene_kernel(
     zero = o.x * 0.0
 
     if phase == "finish":
-        # Clean tiles keep their pass-1 results untouched; only tiles where
-        # a budgeted march capped (dirty) re-traverse from scratch with the
-        # full budgets and the inline-check marchers.
+        # Carry pass-1 results; re-march ONLY the (lane, geometry) pairs
+        # whose budgeted march capped (per-geometry bits in the dirty
+        # mask), seeded with pass-1's final best_t (pruning-exact: a hit
+        # beyond an already-confirmed closer hit cannot win).
+        upd_ref = rest[-1]  # scratch: lanes whose winner changed in pass 2
         thit_ref[:] = p_thit_ref[:]
         nx_ref[:] = p_nx_ref[:]
         ny_ref[:] = p_ny_ref[:]
         nz_ref[:] = p_nz_ref[:]
         gid_ref[:] = p_gid_ref[:]
+        upd_ref[:] = zero.astype(jnp.int32)
         tile_dirty = jnp.any(dirty_ref[:] != 0)
 
         def finish_tile():
-            _traverse_tile(
-                geoms, clusters, step_budgets, cull_backface, accept_first,
-                "finish", o, d, active, t0_ref, b2l_ref, l2b_ref, sscale_ref,
+            _finish_tile(
+                geoms, step_budgets, cull_backface, accept_first,
+                o, d, active, dirty_ref, b2l_ref, l2b_ref, sscale_ref,
                 aabb_ref, mb_ref, thit_ref, nx_ref, ny_ref, nz_ref, gid_ref,
-                None,
+                upd_ref,
             )
 
         pl.when(tile_dirty)(finish_tile)
@@ -473,43 +605,35 @@ def _traverse_tile(
 
             if kind == int(IntersectorKind.SIGNED_DISTANCE):
                 distance_fn = soa.DISTANCE_FUNCTIONS_SOA[int(code)]
-                if phase == "finish":
-                    hit, t = _march_sdf_inline(
-                        distance_fn, o_loc, d_loc, gate, best_t,
-                        sscale_ref[g, 0], cull_backface=cull_g,
-                        max_steps=step_budgets[g],
+                budget = step_budgets[g]
+                if phase == "main":
+                    budget = min(PHASE_BUDGET, budget)
+                hit, t, capped = _march_sdf(
+                    distance_fn, o_loc, d_loc, gate, best_t,
+                    sscale_ref[g, 0], cull_backface=cull_g,
+                    max_steps=budget,
+                )
+                if phase == "main" and budget < step_budgets[g]:
+                    dirty_ref[:] = dirty_ref[:] | (
+                        capped.astype(jnp.int32) << _dirty_bit(g)
                     )
-                else:
-                    budget = step_budgets[g]
-                    if phase == "main":
-                        budget = min(PHASE_BUDGET, budget)
-                    hit, t, capped = _march_sdf(
-                        distance_fn, o_loc, d_loc, gate, best_t,
-                        sscale_ref[g, 0], cull_backface=cull_g,
-                        max_steps=budget,
-                    )
-                    if phase == "main" and budget < step_budgets[g]:
-                        dirty_ref[:] = dirty_ref[:] | capped.astype(jnp.int32)
                 n_world = None  # normal deferred to the pl.when epilogue
             elif kind == int(IntersectorKind.VOLUMETRIC):
                 balls = tuple(
                     (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
                     for j in range(3)
                 )
-                if phase == "finish":
-                    hit, t = _march_metaballs_inline(
-                        o_loc, d_loc, gate, best_t, balls
+                budget = METABALL_MAX_STEPS
+                if phase == "main":
+                    budget = min(PHASE_BUDGET, budget)
+                hit, t, capped = _march_metaballs(
+                    o_loc, d_loc, gate, best_t, balls, max_steps=budget,
+                    step_div=METABALL_MAX_STEPS,
+                )
+                if phase == "main" and budget < METABALL_MAX_STEPS:
+                    dirty_ref[:] = dirty_ref[:] | (
+                        capped.astype(jnp.int32) << _dirty_bit(g)
                     )
-                else:
-                    budget = METABALL_MAX_STEPS
-                    if phase == "main":
-                        budget = min(PHASE_BUDGET, budget)
-                    hit, t, capped = _march_metaballs(
-                        o_loc, d_loc, gate, best_t, balls, max_steps=budget,
-                        step_div=METABALL_MAX_STEPS,
-                    )
-                    if phase == "main" and budget < METABALL_MAX_STEPS:
-                        dirty_ref[:] = dirty_ref[:] | capped.astype(jnp.int32)
                 n_world = None
             elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.AABB):
                 hit, t, n_loc = soa.intersect_hollow_aabb(
@@ -635,7 +759,7 @@ def _traverse_tile(
             pl.when(jnp.any(won))(epilogue)
 
 
-@functools.partial(jax.jit, static_argnames=("geoms", "clusters", "step_budgets", "cull_backface", "accept_first", "two_phase", "interpret"))
+@functools.partial(jax.jit, static_argnames=("geoms", "clusters", "step_budgets", "cull_backface", "accept_first", "two_phase", "debug_dirty", "interpret"))
 def scene_closest_tiles(
     o_blas,  # (H, W, 3)
     d_blas,  # (H, W, 3)
@@ -653,11 +777,13 @@ def scene_closest_tiles(
     cull_backface: bool = True,
     accept_first: bool = False,
     two_phase: bool = True,
+    debug_dirty: bool = False,
     interpret: bool = False,
 ):
     """Returns (best_t, normal (H,W,3), geom_id (H,W) int32; -1 where no
     procedural hit beat t0). With accept_first (occlusion queries) only
-    geom_id >= 0 is meaningful.
+    geom_id >= 0 is meaningful. debug_dirty additionally returns the pass-1
+    per-lane dirty bitmask (diagnostics).
 
     two_phase: budgeted pass + dirty-tile finisher (see PHASE_BUDGET);
     bit-identical to the single full-budget pass, much faster when crawl
@@ -764,10 +890,16 @@ def scene_closest_tiles(
             in_specs=[tile_spec] * 8 + smem_specs + [tile_spec] * 6,
             out_specs=[tile_spec] * 5,
             out_shape=out5,
+            scratch_shapes=[
+                pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
+            ],
             interpret=interpret,
         )(*planes, *smem_args, dirty, thit1, nx1, ny1, nz1, gid1)
 
     normal = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+    if debug_dirty:
+        d = dirty[:h, :w] if two_phase else jnp.zeros((h, w), jnp.int32)
+        return thit[:h, :w], normal, gid[:h, :w], d
     return thit[:h, :w], normal, gid[:h, :w]
 
 
