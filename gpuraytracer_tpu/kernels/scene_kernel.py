@@ -70,10 +70,21 @@ def _normal_at(distance_fn, p: V3) -> V3:
     ).normalized()
 
 
-def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
-               max_steps=SDF_MAX_STEPS, cull_backface=True):
-    """Two-phase pause/check sphere trace over one tile (see
-    megakernel._tile_march_kernel for the semantics notes)."""
+def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
+               unroll=12, max_steps=SDF_MAX_STEPS, cull_backface=True):
+    """Pause/check sphere trace over one tile, march state in VMEM scratch
+    refs. Bit-identical to the reference march semantics
+    (SignedDistancePrimitives.hlsli:287-319, same step accounting as
+    geometry/sdf.sphere_trace): crossings pause the lane, the validity
+    check (tetrahedral normal + cull + t-range) runs at the next outer
+    iteration, invalid lanes resume with one forced advance.
+
+    The ref-state form exists so the 4-eval validity check can sit under
+    pl.when(any lane paused): outer iterations where nothing paused march
+    unroll steps for unroll evals instead of unroll+4 (the value-carry
+    form paid the check every iteration — ~25% of all march evals on
+    clean tiles)."""
+    t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref = scratch
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0
     izero = zero.astype(jnp.int32)
@@ -83,29 +94,41 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
     from gpuraytracer_tpu.geometry.sdf import march_escape_t
 
     t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
-    state0 = (zero, izero, jnp.where(gate, izero, izero + 1), izero, zero + inf)
 
-    def cond(state):
-        _, _, done_i, _, _ = state
-        return jnp.any(done_i == 0)
+    t_ref[:] = zero
+    steps_ref[:] = izero
+    done_ref[:] = jnp.where(gate, izero, izero + 1)
+    paused_ref[:] = izero
+    resume_ref[:] = izero
+    thit_ref[:] = zero + inf
 
-    def body(state):
-        t, steps, done_i, paused_i, t_hit = state
-        done = done_i != 0
-        paused = paused_i != 0
-
+    def check():
+        # Validity check for paused lanes (Raytracing.hlsl IsAValidHit).
+        # Runs only when some lane in the tile is paused; with no paused
+        # lanes it is the identity, so guarding it is result-exact.
+        t = t_ref[:]
+        paused = paused_ref[:] != 0
         pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
         n = _normal_at(distance_fn, pos)
         facing_ok = (d.dot(n) <= 0.0) if cull_backface else (t == t)
         in_range = (t >= 0.0) & (t <= t_max)
         valid = paused & facing_ok & in_range
-        t_hit = jnp.where(valid, t, t_hit)
-        done = done | valid
+        thit_ref[:] = jnp.where(valid, t, thit_ref[:])
+        done_ref[:] = done_ref[:] | valid.astype(jnp.int32)
+        resume_ref[:] = (paused & ~valid).astype(jnp.int32)
+        paused_ref[:] = izero
 
-        resume = paused & ~done
-        paused = paused & ~paused
+    def cond(carry):
+        return carry
 
+    def body(carry):
+        pl.when(jnp.any(paused_ref[:] != 0))(check)
         for _ in range(unroll):
+            t = t_ref[:]
+            steps = steps_ref[:]
+            done = done_ref[:] != 0
+            paused = paused_ref[:] != 0
+            resume = resume_ref[:] != 0
             marching = ~done & ~paused
             pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
             dist = distance_fn(pos)
@@ -115,34 +138,42 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, unroll=12,
             crossed = dist <= SDF_HIT_THRESHOLD * t
             newly_paused = fresh & crossed
             advance = fresh & ~crossed
-            steps = steps + jnp.where(fresh, 1, 0)
+            steps_ref[:] = steps + jnp.where(fresh, 1, 0)
             moved = adv_resume | advance
             t = jnp.where(moved, t + step_scale * dist, t)
+            t_ref[:] = t
             done = done | (moved & (t > t_escape))
-            paused = paused | newly_paused
-            resume = resume & ~adv_resume
-        return t, steps, done.astype(jnp.int32), paused.astype(jnp.int32), t_hit
+            done_ref[:] = done.astype(jnp.int32)
+            paused_ref[:] = (paused | newly_paused).astype(jnp.int32)
+            resume_ref[:] = (resume & ~adv_resume).astype(jnp.int32)
+        # Paused lanes always have done == 0, so lanes that paused on the
+        # last micro-step keep the loop alive for their validity check.
+        return jnp.any(done_ref[:] == 0)
 
-    _, steps_f, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
+    jax.lax.while_loop(cond, body, jnp.any(done_ref[:] == 0))
+    t_hit = thit_ref[:]
     # The winning hit's normal is recomputed in the kernel epilogue, only
     # for tiles this geometry actually won (pl.when) — computing it here
     # unconditionally cost ~40 distance evals per tile across the scene.
     # capped: lanes that ran out of budget without resolving — meaningful
     # only when max_steps is a phase budget below the geometry's real one
     # (the two-phase dirty-tile scheme, see scene_closest_tiles).
-    capped = gate & (steps_f >= max_steps) & (t_hit == jnp.inf)
+    capped = gate & (steps_ref[:] >= max_steps) & (t_hit == jnp.inf)
     return t_hit < inf, t_hit, capped
 
 
-def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
+def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=16,
                      max_steps=METABALL_MAX_STEPS,
                      step_div=METABALL_MAX_STEPS):
     """Fixed-step isosurface march (VolumetricPrimitives.hlsli:151-202)
-    over one tile. balls: tuple of 3 (cx, cy, cz, r) scalar tuples.
+    over one tile, ref-state form with the 6-eval facing check under
+    pl.when (see _march_sdf). balls: tuple of 3 (cx, cy, cz, r) scalar
+    tuples.
 
     step_div fixes the step SIZE divisor at the reference's 128 even when
     max_steps is a smaller phase budget — a budgeted march must be a strict
     prefix of the full march, not a coarser one."""
+    t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref = scratch
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0
 
@@ -151,14 +182,6 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
         for cx, cy, cz, r in balls:
             total = total + soa.metaball_potential_soa(p, cx, cy, cz, r)
         return total
-
-    def normal_at(p: V3) -> V3:
-        e = _MB_NORMAL_EPS
-        return V3(
-            potential(V3(p.x - e, p.y, p.z)) - potential(V3(p.x + e, p.y, p.z)),
-            potential(V3(p.x, p.y - e, p.z)) - potential(V3(p.x, p.y + e, p.z)),
-            potential(V3(p.x, p.y, p.z - e)) - potential(V3(p.x, p.y, p.z + e)),
-        ).normalized()
 
     # Bounding-sphere interval union clipped per-sphere to [0, t_max]
     # (hlsli:124-147 + AnalyticPrimitives solid-sphere clip).
@@ -178,29 +201,38 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
     # on them (positions at inf, potential 0 — a hit is impossible), so
     # skipping them immediately is result-identical and saves the march.
     live = gate & (tmax_u >= tmin)
-    state0 = (tmin, izero, jnp.where(live, izero, izero + 1), izero, zero + inf)
 
-    def cond(state):
-        _, _, done_i, _, _ = state
-        return jnp.any(done_i == 0)
+    t_ref[:] = tmin
+    steps_ref[:] = izero
+    done_ref[:] = jnp.where(live, izero, izero + 1)
+    paused_ref[:] = izero
+    resume_ref[:] = izero
+    thit_ref[:] = zero + inf
 
-    def body(state):
-        t, steps, done_i, paused_i, t_hit = state
-        done = done_i != 0
-        paused = paused_i != 0
-
+    def check():
+        t = t_ref[:]
+        paused = paused_ref[:] != 0
         pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
-        n = normal_at(pos)
+        n = _metaball_normal(pos, balls)
         facing_ok = d.dot(n) <= 0.0
         in_range = (t >= 0.0) & (t <= t_max)
         valid = paused & facing_ok & in_range
-        t_hit = jnp.where(valid, t, t_hit)
-        done = done | valid
+        thit_ref[:] = jnp.where(valid, t, thit_ref[:])
+        done_ref[:] = done_ref[:] | valid.astype(jnp.int32)
+        resume_ref[:] = (paused & ~valid).astype(jnp.int32)
+        paused_ref[:] = izero
 
-        resume = paused & ~done
-        paused = paused & ~paused
+    def cond(carry):
+        return carry
 
+    def body(carry):
+        pl.when(jnp.any(paused_ref[:] != 0))(check)
         for _ in range(unroll):
+            t = t_ref[:]
+            steps = steps_ref[:]
+            done = done_ref[:] != 0
+            paused = paused_ref[:] != 0
+            resume = resume_ref[:] != 0
             marching = ~done & ~paused
             pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
             total = potential(pos)
@@ -210,15 +242,17 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, unroll=16,
             crossed = total >= METABALL_ISO_THRESHOLD
             newly_paused = fresh & crossed
             advance = fresh & ~crossed
-            steps = steps + jnp.where(fresh, 1, 0)
-            t = jnp.where(adv_resume | advance, t + step, t)
-            paused = paused | newly_paused
-            resume = resume & ~adv_resume
-        return t, steps, done.astype(jnp.int32), paused.astype(jnp.int32), t_hit
+            steps_ref[:] = steps + jnp.where(fresh, 1, 0)
+            t_ref[:] = jnp.where(adv_resume | advance, t + step, t)
+            done_ref[:] = done.astype(jnp.int32)
+            paused_ref[:] = (paused | newly_paused).astype(jnp.int32)
+            resume_ref[:] = (resume & ~adv_resume).astype(jnp.int32)
+        return jnp.any(done_ref[:] == 0)
 
-    _, steps_f, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
+    jax.lax.while_loop(cond, body, jnp.any(done_ref[:] == 0))
+    t_hit = thit_ref[:]
     # Normal deferred to the kernel epilogue (see _march_sdf).
-    capped = live & (steps_f >= max_steps) & (t_hit == jnp.inf)
+    capped = live & (steps_ref[:] >= max_steps) & (t_hit == jnp.inf)
     return t_hit < inf, t_hit, capped
 
 
@@ -482,6 +516,10 @@ def _scene_kernel(
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      active_ref, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
      *rest) = refs
+    # March-state scratch (see _march_sdf) is the trailing 6 refs of every
+    # phase layout.
+    march_scratch = tuple(rest[-6:])
+    rest = rest[:-6]
     if phase == "finish":
         (dirty_ref, p_thit_ref, p_nx_ref, p_ny_ref, p_nz_ref, p_gid_ref,
          thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, _upd_scratch) = rest
@@ -527,14 +565,14 @@ def _scene_kernel(
     _traverse_tile(
         geoms, clusters, step_budgets, cull_backface, accept_first, phase,
         o, d, active, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
-        thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref,
+        thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
     )
 
 
 def _traverse_tile(
     geoms, clusters, step_budgets, cull_backface, accept_first, phase,
     o, d, active, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
-    thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref,
+    thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
 ):
     # Closest-hit state lives in the OUTPUT refs so each geometry's entire
     # body (local transform + intersector + reduction) can sit under a
@@ -610,7 +648,7 @@ def _traverse_tile(
                     budget = min(PHASE_BUDGET, budget)
                 hit, t, capped = _march_sdf(
                     distance_fn, o_loc, d_loc, gate, best_t,
-                    sscale_ref[g, 0], cull_backface=cull_g,
+                    sscale_ref[g, 0], march_scratch, cull_backface=cull_g,
                     max_steps=budget,
                 )
                 if phase == "main" and budget < step_budgets[g]:
@@ -627,8 +665,8 @@ def _traverse_tile(
                 if phase == "main":
                     budget = min(PHASE_BUDGET, budget)
                 hit, t, capped = _march_metaballs(
-                    o_loc, d_loc, gate, best_t, balls, max_steps=budget,
-                    step_div=METABALL_MAX_STEPS,
+                    o_loc, d_loc, gate, best_t, balls, march_scratch,
+                    max_steps=budget, step_div=METABALL_MAX_STEPS,
                 )
                 if phase == "main" and budget < METABALL_MAX_STEPS:
                     dirty_ref[:] = dirty_ref[:] | (
@@ -776,7 +814,7 @@ def scene_closest_tiles(
     step_budgets: Tuple[int, ...] | None = None,
     cull_backface: bool = True,
     accept_first: bool = False,
-    two_phase: bool = True,
+    two_phase: bool = False,
     debug_dirty: bool = False,
     interpret: bool = False,
 ):
@@ -786,8 +824,11 @@ def scene_closest_tiles(
     per-lane dirty bitmask (diagnostics).
 
     two_phase: budgeted pass + dirty-tile finisher (see PHASE_BUDGET);
-    bit-identical to the single full-budget pass, much faster when crawl
-    lanes exist. Disabled automatically when no march geometry needs it."""
+    bit-identical to the single full-budget pass. Default OFF: tiles run
+    sequentially on the TensorCore, so a tile-granular finisher re-pays the
+    per-tile convoy it tried to avoid — measured 143 ms vs 76 ms at 1080p
+    (the dirty tiles it re-marches are exactly the expensive ones, and the
+    inline marchers cost ~5 evals/step on legitimately long marches)."""
     h, w = active.shape
     ph = (-h) % TILE_ROWS
     pw = (-w) % TILE_COLS
@@ -865,6 +906,17 @@ def scene_closest_tiles(
             cull_backface, accept_first, phase,
         )
 
+    # March-state scratch (t, steps, done, paused, resume, t_hit) — see
+    # _march_sdf. Shared across all geometries of a tile sequentially.
+    march_scratch = [
+        pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.float32),
+        pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
+        pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
+        pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
+        pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
+        pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.float32),
+    ]
+
     if not two_phase:
         thit, nx, ny, nz, gid = pl.pallas_call(
             make_kernel("single"),
@@ -872,6 +924,7 @@ def scene_closest_tiles(
             in_specs=[tile_spec] * 8 + smem_specs,
             out_specs=[tile_spec] * 5,
             out_shape=out5,
+            scratch_shapes=march_scratch,
             interpret=interpret,
         )(*planes, *smem_args)
     else:
@@ -882,6 +935,7 @@ def scene_closest_tiles(
             in_specs=[tile_spec] * 8 + smem_specs,
             out_specs=[tile_spec] * 6,
             out_shape=out5 + [i32_out],
+            scratch_shapes=march_scratch,
             interpret=interpret,
         )(*planes, *smem_args)
         thit, nx, ny, nz, gid = pl.pallas_call(
@@ -892,7 +946,7 @@ def scene_closest_tiles(
             out_shape=out5,
             scratch_shapes=[
                 pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
-            ],
+            ] + march_scratch,
             interpret=interpret,
         )(*planes, *smem_args, dirty, thit1, nx1, ny1, nz1, gid1)
 

@@ -160,6 +160,12 @@ def _fractal_builder() -> SceneBuilder:
             material=Material(GREEN, 0.0, 1.0, 0.4, 10.0, 0.6),
             scale=(2.0, 2.0, 2.0),
             rotates=True,
+            # DE fractals get their own march budget (VERDICT r1 item 3):
+            # the Mandelbulb estimator converges in far fewer steps than the
+            # reference primitives' 512; at 192 the 96x54 render keeps 98.8%
+            # of pixels within 1e-3 of the 512-step image (tools note in
+            # DEVNOTES), the rest are silhouette hit/miss flips.
+            step_budget=192,
         )
     )
     jl_min, jl_max = grid_cell_aabb(3, 2, (4, 4, 4))
@@ -172,6 +178,7 @@ def _fractal_builder() -> SceneBuilder:
             material=Material(YELLOW, 0.0, 1.0, 0.4, 10.0, 0.6),
             scale=(2.0, 2.0, 2.0),
             rotates=True,
+            step_budget=192,
         )
     )
     # A chromium mirror sphere cluster for the "reflections" requirement.

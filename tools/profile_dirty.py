@@ -78,11 +78,12 @@ def main():
     dirty_c, dirty_s = jax.device_get(passes(arrays))
 
     def stats(dirty, label):
-        n = dirty.size
+        tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
+        ph, pw = (-dirty.shape[0]) % tr, (-dirty.shape[1]) % tc
+        dirty = np.pad(dirty, ((0, ph), (0, pw)))
         tiles = dirty.reshape(
-            H // scene_kernel.TILE_ROWS, scene_kernel.TILE_ROWS,
-            -1, scene_kernel.TILE_COLS,
-        ).transpose(0, 2, 1, 3).reshape(-1, scene_kernel.TILE_ROWS * scene_kernel.TILE_COLS)
+            dirty.shape[0] // tr, tr, dirty.shape[1] // tc, tc
+        ).transpose(0, 2, 1, 3).reshape(-1, tr * tc)
         out = {
             "dirty_lanes_pct": round(float((dirty != 0).mean()) * 100, 2),
             "dirty_tiles_pct": round(float((tiles != 0).any(axis=1).mean()) * 100, 2),

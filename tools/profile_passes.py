@@ -42,6 +42,7 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--tile-cols", type=int, default=0, help="override TILE_COLS")
+    p.add_argument("--tile-rows", type=int, default=0, help="override TILE_ROWS")
     p.add_argument("--stages", type=str, default="full,closest0,any0,kernel0,raygen")
     args = p.parse_args()
 
@@ -58,6 +59,8 @@ def main():
 
     if args.tile_cols:
         scene_kernel.TILE_COLS = args.tile_cols
+    if args.tile_rows:
+        scene_kernel.TILE_ROWS = args.tile_rows
 
     W, H = args.width, args.height
     scene0 = builtin.build_scene(aspect=W / H, elapsed_time=0.7)
@@ -137,6 +140,7 @@ def main():
         results["glue_est"] = round(glue, 2)
 
     print(json.dumps({"width": W, "height": H,
+                      "tile_rows": scene_kernel.TILE_ROWS,
                       "tile_cols": scene_kernel.TILE_COLS, **results}))
 
 
