@@ -1,0 +1,476 @@
+"""Fully fused frame megakernel: the whole DispatchRays in ONE pallas_call.
+
+The pass-based TPU path (render/trace.py + kernels/scene_kernel.py) runs
+five traversal kernels per frame (closest at 3 levels + occlusion at 2)
+with XLA elementwise glue between them — raygen, hit-point reconstruction,
+material fetch, Phong/Fresnel/fog/checkers shading, bounce chaining. Every
+boundary materializes ~13 full-image planes to HBM and pays a kernel
+launch + per-tile fixed costs again.
+
+This kernel fuses the entire frame per (TILE_ROWS, TILE_COLS) pixel tile:
+
+  raygen (program_id + iota, camera in SMEM)
+  -> for level in 0..max_depth-1:          [lax.fori_loop, state in VMEM]
+       plane test -> whole-scene traversal (scene_kernel._traverse_tile,
+       same marchers, bit-identical hits) -> material select-chain from
+       SMEM -> shadow ray + occlusion traversal (accept-first) -> Phong +
+       fake AO + checkers + Fresnel + fog -> color/throughput recurrence
+       (render/trace.py affine form) -> reflect
+  -> write RGBA planes
+
+Zero VMEM inputs: rays are generated in-register, every parameter rides
+SMEM. The only HBM traffic for the whole frame is the final image write.
+
+Reference parity: shading formulas are transcribed 1:1 from render/shade.py,
+render/checkers.py and render/trace.py (which carry the HLSL anchors:
+Raytracing.hlsl:50-80 Phong+AO, :213-215 fog, RaytracingShaderHelper
+.hlsli:178-182 Fresnel, :103-120 raygen, :148-175 checkers); ray math uses
+the division-form normalize so march inputs stay bit-identical with the
+XLA wavefront path (crossing thresholds are ulp-sensitive).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpuraytracer_tpu.core.types import (
+    BACKGROUND_COLOR,
+    IN_SHADOW_RADIANCE,
+    IntersectorKind,
+    RAY_TMAX,
+    REFLECTANCE_EPS,
+)
+from gpuraytracer_tpu.kernels import scene_kernel
+from gpuraytracer_tpu.kernels.soa import V3
+
+CHECKERS_RATIO = 50.0  # SignedDistancePrimitives.hlsli:174 call site
+
+
+def _normalize_exact(v: V3) -> V3:
+    """Division-form normalize matching core/hlsl.normalize bit-for-bit
+    (V3.normalized uses reciprocal-multiply — ~1 ulp off, enough to flip
+    march crossings at silhouettes)."""
+    l = jnp.maximum(v.length(), 1e-20)
+    return V3(v.x / l, v.y / l, v.z / l)
+
+
+def _raygen(px, py, width, height, cam: V3, p2w_ref):
+    """GenerateCameraRay (RaytracingShaderHelper.hlsli:103-120) from SMEM
+    camera state; mirrors core/camera.generate_camera_rays op-for-op."""
+    sx = (px.astype(jnp.float32) + 0.5) / jnp.float32(width) * 2.0 - 1.0
+    sy = (py.astype(jnp.float32) + 0.5) / jnp.float32(height) * 2.0 - 1.0
+    sy = -sy
+
+    def col(c):
+        return sx * p2w_ref[0, c] + sy * p2w_ref[1, c] + p2w_ref[3, c]
+
+    w = col(3)
+    world = V3(col(0) / w, col(1) / w, col(2) / w)
+    origins = V3(world.x * 0.0 + cam.x, world.y * 0.0 + cam.y,
+                 world.z * 0.0 + cam.z)
+    directions = _normalize_exact(world - cam)
+    return origins, directions
+
+
+def _plane_test(o: V3, d: V3, cvec_ref, t_max):
+    """Ground-plane rect test (accel/traverse.intersect_plane)."""
+    po_x, po_y, po_z = cvec_ref[5, 0], cvec_ref[5, 1], cvec_ref[5, 2]
+    ps_x, ps_z = cvec_ref[6, 0], cvec_ref[6, 1]
+    t = -(o.y - po_y) / d.y
+    px = o.x + t * d.x
+    pz = o.z + t * d.z
+    inside = (px >= po_x) & (px <= po_x + ps_x) & (pz >= po_z) & (pz <= po_z + ps_z)
+    hit = inside & (d.y < 0.0) & (t >= 0.0) & (t <= t_max)
+    return hit, t
+
+
+def _pick_material(mat_ref, gid, num_materials):
+    """Branchless select chain over the SMEM material table — the
+    shader-record local-root-argument fetch (render/trace._gather_materials
+    in-kernel)."""
+    fields = []
+    for f in range(8):
+        out = gid.astype(jnp.float32) * 0.0 + mat_ref[0, f]
+        for i in range(1, num_materials):
+            out = jnp.where(gid == i, mat_ref[i, f], out)
+        fields.append(out)
+    albedo = tuple(fields[0:4])  # rgba
+    return albedo, fields[4], fields[5], fields[6], fields[7]
+
+
+def _reflect(d: V3, n: V3) -> V3:
+    k = 2.0 * d.dot(n)
+    return V3(d.x - k * n.x, d.y - k * n.y, d.z - k * n.z)
+
+
+def _checkers(hit: V3, n: V3, px, py, width, height, cam: V3, p2w_ref):
+    """AnalyticalCheckersTexture (render/checkers.py transcription)."""
+    ox, dx = _raygen(px + 1, py, width, height, cam, p2w_ref)
+    oy, dy = _raygen(px, py + 1, width, height, cam, p2w_ref)
+
+    def project(o, d):
+        num = (o - hit).dot(n)
+        den = d.dot(n)
+        s = num / den
+        return V3(o.x - d.x * s, o.y - d.y * s, o.z - d.z * s)
+
+    pxp = project(ox, dx)
+    pyp = project(oy, dy)
+    dpdx_u, dpdx_v = pxp.x - hit.x, pxp.z - hit.z
+    dpdy_u, dpdy_v = pyp.x - hit.x, pyp.z - hit.z
+
+    def filt(uv, ddx, ddy):
+        w = jnp.maximum(jnp.abs(ddx), jnp.abs(ddy))
+        a = uv + 0.5 * w
+        b = uv - 0.5 * w
+        fa = a - jnp.floor(a)
+        fb = b - jnp.floor(b)
+        i = (jnp.floor(a) + jnp.minimum(fa * CHECKERS_RATIO, 1.0)
+             - jnp.floor(b) - jnp.minimum(fb * CHECKERS_RATIO, 1.0)) / (
+                 CHECKERS_RATIO * w)
+        return i
+
+    iu = filt(hit.x, dpdx_u, dpdy_u)
+    iv = filt(hit.z, dpdx_v, dpdy_v)
+    return (1.0 - iu) * (1.0 - iv)
+
+
+def _frame_kernel(
+    geoms: Tuple[Tuple[int, int], ...],
+    clusters: Tuple[Tuple[int, ...], ...],
+    step_budgets: Tuple[int, ...],
+    cull_backface: bool,
+    max_depth: int,
+    width: int,
+    height: int,
+    plane_gid: int,
+    num_materials: int,
+    # refs:
+    b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref, mat_ref, p2w_ref,
+    cvec_ref,
+    r_ref, g_ref, b_ref, a_ref,
+    thit_s, nx_s, ny_s, nz_s, gid_s, *march_scratch,
+):
+    tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0) + i * tr
+    px = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1) + j * tc
+
+    cam = V3(cvec_ref[0, 0], cvec_ref[0, 1], cvec_ref[0, 2])
+    light = V3(cvec_ref[1, 0], cvec_ref[1, 1], cvec_ref[1, 2])
+    amb = tuple(cvec_ref[2, c] for c in range(4))
+    ldiff = tuple(cvec_ref[3, c] for c in range(4))
+    blas = V3(cvec_ref[4, 0], cvec_ref[4, 1], cvec_ref[4, 2])
+    bg = BACKGROUND_COLOR
+
+    o, d = _raygen(px, py, width, height, cam, p2w_ref)
+    zero = o.x * 0.0
+    izero = zero.astype(jnp.int32)
+    in_image = (py < height) & (px < width)
+
+    state0 = (
+        o.x, o.y, o.z, d.x, d.y, d.z,
+        in_image.astype(jnp.int32),          # active
+        zero + 1.0, zero + 1.0, zero + 1.0, zero + 1.0,  # throughput rgba
+        zero, zero, zero, zero,              # color rgba
+    )
+
+    def level_body(lvl, state):
+        (ox, oy, oz, dx, dy, dz, active_i, tw0, tw1, tw2, tw3,
+         c0, c1, c2, c3) = state
+        o = V3(ox, oy, oz)
+        d = V3(dx, dy, dz)
+        active = active_i != 0
+        # Shadow rays trace at levels where the child radiance recursion
+        # is not yet capped (Raytracing.hlsl:117-120; render/trace.py).
+        trace_shadow = lvl + 1 < max_depth
+
+        # --- closest hit: plane (closed form) + scene traversal ---------
+        hit_p, t_p = _plane_test(o, d, cvec_ref, RAY_TMAX)
+        hit_p = hit_p & active
+        t0 = jnp.where(hit_p, t_p, RAY_TMAX)
+        ob = o - blas
+        scene_kernel._traverse_tile(
+            geoms, clusters, step_budgets, cull_backface, False, "single",
+            ob, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref,
+            mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s, None,
+            tuple(march_scratch),
+        )
+        best_t = thit_s[:]
+        gid = gid_s[:]
+        hit_proc = gid >= 0
+        geometry_id = jnp.where(
+            hit_proc, gid, jnp.where(hit_p, plane_gid, izero - 1)
+        )
+        hit = geometry_id >= 0
+        t = jnp.where(hit_proc, best_t, jnp.where(hit_p, t0, RAY_TMAX))
+        t = jnp.where(hit, t, RAY_TMAX)
+        n = V3(
+            jnp.where(hit_proc, nx_s[:], 0.0),
+            jnp.where(hit_proc, ny_s[:], 1.0),
+            jnp.where(hit_proc, nz_s[:], 0.0),
+        )
+        n = V3(jnp.where(hit, n.x, 0.0), jnp.where(hit, n.y, 0.0),
+               jnp.where(hit, n.z, 0.0))
+        hit_pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+
+        albedo, refl_coef, diff_coef, spec_coef, spec_pow = _pick_material(
+            mat_ref, geometry_id, num_materials
+        )
+
+        # --- shadow occlusion (accept-first) -----------------------------
+        sd = _normalize_exact(light - hit_pos)
+        shadow_active = active & hit & trace_shadow
+        hit_p2, _ = _plane_test(hit_pos, sd, cvec_ref, RAY_TMAX)
+        hit_p2 = hit_p2 & shadow_active
+        t0s = jnp.where(hit_p2, 0.0, RAY_TMAX)
+        obs = hit_pos - blas
+        scene_kernel._traverse_tile(
+            geoms, clusters, step_budgets, True, True, "single",
+            obs, sd, shadow_active & ~hit_p2, t0s, b2l_ref, l2b_ref,
+            sscale_ref, aabb_ref, mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s,
+            None, tuple(march_scratch),
+        )
+        in_shadow = (hit_p2 | (gid_s[:] >= 0)) & shadow_active
+
+        # --- Phong + fake AO (render/shade.phong_lighting) ---------------
+        shadow_factor = jnp.where(in_shadow, IN_SHADOW_RADIANCE, 1.0)
+        incident = _normalize_exact(hit_pos - light)
+        kd = jnp.clip(-incident.dot(n), 0.0, 1.0)
+        dterm = shadow_factor * diff_coef * kd
+        refl_l = _normalize_exact(_reflect(incident, n))
+        view = _normalize_exact(V3(-d.x, -d.y, -d.z))
+        ks = jnp.power(jnp.clip(refl_l.dot(view), 0.0, 1.0), spec_pow)
+        sterm = jnp.where(in_shadow, 0.0, spec_coef * ks)
+        ao = 1.0 - jnp.clip(-n.y, 0.0, 1.0)
+        phong = tuple(
+            albedo[c] * ((amb[c] - 0.1) + ao * (amb[c] - (amb[c] - 0.1)))
+            + dterm * ldiff[c] * albedo[c]
+            + sterm
+            for c in range(4)
+        )
+
+        # --- checkers on plane hits (render/checkers.py) -----------------
+        k_check = _checkers(hit_pos, n, px, py, width, height, cam, p2w_ref)
+        k = jnp.where(geometry_id == plane_gid, k_check, 1.0)
+
+        # --- Fresnel-weighted reflection multiplier ----------------------
+        cosi = jnp.clip(-(d.dot(n)), 0.0, 1.0)
+        f1 = 1.0 - cosi
+        f5 = (f1 * f1) * (f1 * f1) * f1
+        fresnel = tuple(albedo[c] + (1.0 - albedo[c]) * f5 for c in range(3))
+        reflective = hit & (refl_coef > REFLECTANCE_EPS)
+        refl_mult = tuple(
+            jnp.where(reflective, refl_coef * (fresnel[c] if c < 3 else 1.0), 0.0)
+            for c in range(4)
+        )
+
+        # --- fog + color recurrence (render/trace.py) --------------------
+        fog = 1.0 - jnp.exp(-0.000002 * t * t * t)
+        base = tuple(
+            jnp.where(hit, (1.0 - fog) * (k * phong[c]) + fog * bg[c], bg[c])
+            for c in range(4)
+        )
+        mult = tuple(
+            jnp.where(hit, (1.0 - fog) * k * refl_mult[c], 0.0)
+            for c in range(4)
+        )
+        tw = (tw0, tw1, tw2, tw3)
+        c_out = tuple(
+            cc + jnp.where(active, twc * bc, 0.0)
+            for cc, twc, bc in zip((c0, c1, c2, c3), tw, base)
+        )
+        tw_out = tuple(twc * mc for twc, mc in zip(tw, mult))
+        active_out = active & reflective
+        d_out = _reflect(d, n)
+        return (
+            hit_pos.x, hit_pos.y, hit_pos.z, d_out.x, d_out.y, d_out.z,
+            active_out.astype(jnp.int32), *tw_out, *c_out,
+        )
+
+    state = jax.lax.fori_loop(0, max_depth, level_body, state0)
+    r_ref[:] = state[11]
+    g_ref[:] = state[12]
+    b_ref[:] = state[13]
+    a_ref[:] = state[14]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geoms", "clusters", "step_budgets", "cull_backface", "max_depth",
+        "width", "height", "plane_gid", "interpret",
+    ),
+)
+def render_frame_tiles(
+    b2l_rows,  # (G, 12) f32
+    l2b_rot,  # (G, 9) f32
+    step_scales,  # (G,) f32
+    aabbs,  # (G, 6) f32
+    mb_params,  # (3, 4) f32
+    materials,  # (M, 8) f32: albedo rgba, refl, diff, spec, spow
+    p2w,  # (4, 4) f32 row-vector projection_to_world
+    cvec,  # (8, 4) f32: cam, light, amb, ldiff, blas_offset, plane_o, plane_s
+    *,
+    geoms: Tuple[Tuple[int, int], ...],
+    clusters: Tuple[Tuple[int, ...], ...] | None = None,
+    step_budgets: Tuple[int, ...] | None = None,
+    cull_backface: bool = True,
+    max_depth: int = 3,
+    width: int,
+    height: int,
+    plane_gid: int,
+    interpret: bool = False,
+):
+    """Returns an (H, W, 4) f32 radiance image from ONE pallas_call."""
+    from gpuraytracer_tpu.core.types import SDF_MAX_STEPS
+
+    tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
+    hp = height + (-height) % tr
+    wp = width + (-width) % tc
+    grid = (hp // tr, wp // tc)
+
+    g = len(geoms)
+    if step_budgets is None:
+        step_budgets = (SDF_MAX_STEPS,) * g
+    if clusters is None:
+        clusters = (tuple(range(g)),)
+    if len(clusters) > 1:
+        cl_min = jnp.stack([jnp.min(aabbs[list(c), :3], axis=0) for c in clusters])
+        cl_max = jnp.stack([jnp.max(aabbs[list(c), 3:], axis=0) for c in clusters])
+        aabbs = jnp.concatenate(
+            [aabbs, jnp.concatenate([cl_min, cl_max], axis=-1)], axis=0
+        )
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                            memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    m = materials.shape[0]
+    smem_args = (
+        b2l_rows.astype(f32), l2b_rot.astype(f32),
+        step_scales.astype(f32).reshape(g, 1), aabbs.astype(f32),
+        mb_params.astype(f32), materials.astype(f32), p2w.astype(f32),
+        cvec.astype(f32),
+    )
+    smem_specs = [
+        smem((g, 12)), smem((g, 9)), smem((g, 1)),
+        smem((aabbs.shape[0], 6)), smem((3, 4)), smem((m, 8)),
+        smem((4, 4)), smem((8, 4)),
+    ]
+    tile_spec = pl.BlockSpec((tr, tc), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    out4 = [jax.ShapeDtypeStruct((hp, wp), f32) for _ in range(4)]
+    scratch = [
+        pltpu.VMEM((tr, tc), f32),   # thit
+        pltpu.VMEM((tr, tc), f32),   # nx
+        pltpu.VMEM((tr, tc), f32),   # ny
+        pltpu.VMEM((tr, tc), f32),   # nz
+        pltpu.VMEM((tr, tc), jnp.int32),  # gid
+        # march scratch (see scene_kernel._march_sdf)
+        pltpu.VMEM((tr, tc), f32),
+        pltpu.VMEM((tr, tc), jnp.int32),
+        pltpu.VMEM((tr, tc), jnp.int32),
+        pltpu.VMEM((tr, tc), jnp.int32),
+        pltpu.VMEM((tr, tc), jnp.int32),
+        pltpu.VMEM((tr, tc), f32),
+    ]
+    kernel = functools.partial(
+        _frame_kernel, tuple(geoms), tuple(clusters), tuple(step_budgets),
+        cull_backface, max_depth, width, height, plane_gid,
+        int(m),
+    )
+    r, gc, b, a = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=smem_specs,
+        out_specs=[tile_spec] * 4,
+        out_shape=out4,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*smem_args)
+    return jnp.stack(
+        [r[:height, :width], gc[:height, :width], b[:height, :width],
+         a[:height, :width]], axis=-1,
+    )
+
+
+def pack_frame_params(scene, aspect_unused=None):
+    """SMEM parameter blocks for the fused kernel from a Scene."""
+    arrays = scene.arrays
+    layout = scene.layout
+    elapsed = arrays.constants.elapsed_time
+    b2l_rows, l2b_rot, step_scales, aabbs, mb_params = scene_kernel.pack_params(
+        arrays, elapsed
+    )
+    mats = arrays.materials
+    materials = jnp.stack(
+        [
+            mats.albedo[:, 0], mats.albedo[:, 1], mats.albedo[:, 2],
+            mats.albedo[:, 3],
+            mats.reflectance_coefficient, mats.diffuse_coefficient,
+            mats.specular_coefficient, mats.specular_power,
+        ],
+        axis=-1,
+    )
+    c = arrays.constants
+    pad = jnp.zeros((), jnp.float32)
+
+    def row4(*vals):
+        vals = list(vals) + [pad] * (4 - len(vals))
+        return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
+
+    cvec = jnp.stack([
+        row4(c.camera_position[0], c.camera_position[1], c.camera_position[2]),
+        row4(c.light_position[0], c.light_position[1], c.light_position[2]),
+        row4(*[c.light_ambient_color[i] for i in range(4)]),
+        row4(*[c.light_diffuse_color[i] for i in range(4)]),
+        row4(arrays.blas_offset[0], arrays.blas_offset[1], arrays.blas_offset[2]),
+        row4(arrays.plane_origin[0], arrays.plane_origin[1], arrays.plane_origin[2]),
+        row4(arrays.plane_size[0], arrays.plane_size[1]),
+        row4(),
+    ])
+    p2w = jnp.asarray(c.projection_to_world, jnp.float32).reshape(4, 4)
+    geoms = tuple(
+        (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
+    )
+    return (
+        (b2l_rows, l2b_rot, step_scales, aabbs, mb_params, materials, p2w, cvec),
+        dict(
+            geoms=geoms,
+            clusters=layout.clusters,
+            step_budgets=layout.step_budgets,
+            plane_gid=int(layout.plane_geometry_id),
+        ),
+    )
+
+
+def fused_eligible(scene, origins_ndim: int = 3) -> bool:
+    """The fused kernel covers the pass-based TPU path's domain: 2-D pixel
+    wavefronts, plane present, every geometry a supported procedural kind,
+    small material table (select chains)."""
+    from gpuraytracer_tpu.kernels import megakernel
+
+    supported = (
+        IntersectorKind.ANALYTIC,
+        IntersectorKind.VOLUMETRIC,
+        IntersectorKind.SIGNED_DISTANCE,
+    )
+    layout = scene.layout
+    return (
+        megakernel.pallas_available()
+        and not os.environ.get("GPURT_DISABLE_FUSED")
+        and layout.has_plane
+        and layout.num_procedural > 0
+        and all(k in supported for k in layout.kinds)
+        and scene.arrays.materials.albedo.shape[0] <= 16
+    )

@@ -564,23 +564,24 @@ def _scene_kernel(
 
     _traverse_tile(
         geoms, clusters, step_budgets, cull_backface, accept_first, phase,
-        o, d, active, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
+        o, d, active, t0_ref[:], b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
         thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
     )
 
 
 def _traverse_tile(
     geoms, clusters, step_budgets, cull_backface, accept_first, phase,
-    o, d, active, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
+    o, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
     thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
 ):
     # Closest-hit state lives in the OUTPUT refs so each geometry's entire
     # body (local transform + intersector + reduction) can sit under a
     # pl.when tile predicate: a tile whose slab gate admits no lane skips
     # that geometry's code outright (only the ~40-flop slab test runs
-    # unconditionally).
+    # unconditionally). t0 is the initial upper bound VALUE (plane hit t or
+    # RAY_TMAX) — the fused frame kernel computes it in-register.
     zero = o.x * 0.0
-    thit_ref[:] = t0_ref[:]
+    thit_ref[:] = t0
     nx_ref[:] = zero
     ny_ref[:] = zero
     nz_ref[:] = zero

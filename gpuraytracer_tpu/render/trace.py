@@ -199,7 +199,23 @@ def trace_radiance(
 
 def render_frame(scene: Scene, width: int, height: int, *, max_depth: int = MAX_RAY_RECURSION_DEPTH):
     """Full-frame render: the DispatchRays(W, H, 1) analog
-    (Renderer.cpp:401-452). Returns an (H, W, 4) float32 radiance image."""
+    (Renderer.cpp:401-452). Returns an (H, W, 4) float32 radiance image.
+
+    On TPU the whole frame fuses into one Pallas megakernel
+    (kernels/frame_kernel.py) — raygen, all traversal levels, shading and
+    bounce chaining per pixel tile, zero inter-pass HBM round trips. The
+    wavefront path below is the portable reference implementation (CPU
+    backend = the WARP analog) and the fallback for scenes the fused
+    kernel does not cover (meshes, huge material tables, no plane)."""
+    from gpuraytracer_tpu.kernels import frame_kernel
+
+    if frame_kernel.fused_eligible(scene):
+        smem_args, kw = frame_kernel.pack_frame_params(scene)
+        return frame_kernel.render_frame_tiles(
+            *smem_args, width=width, height=height, max_depth=max_depth,
+            cull_backface=True, **kw,
+        )
+
     px, py = cam.pixel_grid(width, height)
     origins, directions = cam.generate_camera_rays(
         px, py, width, height,
