@@ -123,12 +123,15 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
 
     def body(carry):
         pl.when(jnp.any(paused_ref[:] != 0))(check)
+        # Refs touch VMEM once per outer iteration; the unrolled
+        # micro-steps run on register values (10 fewer vector memory ops
+        # per step than per-micro-step ref traffic).
+        t = t_ref[:]
+        steps = steps_ref[:]
+        done = done_ref[:] != 0
+        paused = paused_ref[:] != 0
+        resume = resume_ref[:] != 0
         for _ in range(unroll):
-            t = t_ref[:]
-            steps = steps_ref[:]
-            done = done_ref[:] != 0
-            paused = paused_ref[:] != 0
-            resume = resume_ref[:] != 0
             marching = ~done & ~paused
             pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
             dist = distance_fn(pos)
@@ -138,17 +141,20 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
             crossed = dist <= SDF_HIT_THRESHOLD * t
             newly_paused = fresh & crossed
             advance = fresh & ~crossed
-            steps_ref[:] = steps + jnp.where(fresh, 1, 0)
+            steps = steps + jnp.where(fresh, 1, 0)
             moved = adv_resume | advance
             t = jnp.where(moved, t + step_scale * dist, t)
-            t_ref[:] = t
             done = done | (moved & (t > t_escape))
-            done_ref[:] = done.astype(jnp.int32)
-            paused_ref[:] = (paused | newly_paused).astype(jnp.int32)
-            resume_ref[:] = (resume & ~adv_resume).astype(jnp.int32)
+            paused = paused | newly_paused
+            resume = resume & ~adv_resume
+        t_ref[:] = t
+        steps_ref[:] = steps
+        done_ref[:] = done.astype(jnp.int32)
+        paused_ref[:] = paused.astype(jnp.int32)
+        resume_ref[:] = resume.astype(jnp.int32)
         # Paused lanes always have done == 0, so lanes that paused on the
         # last micro-step keep the loop alive for their validity check.
-        return jnp.any(done_ref[:] == 0)
+        return jnp.any(~done)
 
     jax.lax.while_loop(cond, body, jnp.any(done_ref[:] == 0))
     t_hit = thit_ref[:]
@@ -227,12 +233,12 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=16,
 
     def body(carry):
         pl.when(jnp.any(paused_ref[:] != 0))(check)
+        t = t_ref[:]
+        steps = steps_ref[:]
+        done = done_ref[:] != 0
+        paused = paused_ref[:] != 0
+        resume = resume_ref[:] != 0
         for _ in range(unroll):
-            t = t_ref[:]
-            steps = steps_ref[:]
-            done = done_ref[:] != 0
-            paused = paused_ref[:] != 0
-            resume = resume_ref[:] != 0
             marching = ~done & ~paused
             pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
             total = potential(pos)
@@ -242,12 +248,16 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=16,
             crossed = total >= METABALL_ISO_THRESHOLD
             newly_paused = fresh & crossed
             advance = fresh & ~crossed
-            steps_ref[:] = steps + jnp.where(fresh, 1, 0)
-            t_ref[:] = jnp.where(adv_resume | advance, t + step, t)
-            done_ref[:] = done.astype(jnp.int32)
-            paused_ref[:] = (paused | newly_paused).astype(jnp.int32)
-            resume_ref[:] = (resume & ~adv_resume).astype(jnp.int32)
-        return jnp.any(done_ref[:] == 0)
+            steps = steps + jnp.where(fresh, 1, 0)
+            t = jnp.where(adv_resume | advance, t + step, t)
+            paused = paused | newly_paused
+            resume = resume & ~adv_resume
+        t_ref[:] = t
+        steps_ref[:] = steps
+        done_ref[:] = done.astype(jnp.int32)
+        paused_ref[:] = paused.astype(jnp.int32)
+        resume_ref[:] = resume.astype(jnp.int32)
+        return jnp.any(~done)
 
     jax.lax.while_loop(cond, body, jnp.any(done_ref[:] == 0))
     t_hit = thit_ref[:]
