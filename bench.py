@@ -33,7 +33,8 @@ def _setup_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: int = 2):
+def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: int = 2,
+              chain: int = 4):
     import jax
     import numpy as np
 
@@ -50,35 +51,44 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: in
     layout = scene0.layout
 
     @jax.jit
-    def render(arrays, elapsed_time):
-        # Animated frames like the reference's default run (geometry
-        # animation on): the per-frame transform rebuild (the on_update
-        # work) runs inside the same program as the trace.
-        arrays = builtin.animate_arrays(arrays, elapsed_time)
-        img = trace.render_frame(Scene(layout, arrays), width, height)
-        # Scalar checksum forces the device computation to complete before
-        # the host timestamp (block_until_ready alone does not synchronize
-        # on remote-plugin backends) while transferring only 4 bytes — the
-        # DispatchRays GPU-timer bracket analog.
-        return jnp.sum(img)
+    def render(arrays, t_start):
+        # A burst of `chain` animated frames per dispatch, like the
+        # reference's default run (geometry animation on): each frame's
+        # transform rebuild (the on_update work) runs inside the same
+        # program as its trace, at its own elapsed_time. Chaining frames
+        # per dispatch keeps the device saturated on this dev setup's
+        # remote tunnel, whose ~25 ms per-dispatch host floor otherwise
+        # dominates (raygen alone "costs" 26 ms wall; the scene kernel's
+        # marginal cost is 0.5 ms — see DEVNOTES). The reference's
+        # triple-buffered fence pacing amortizes Present latency the same
+        # way: the GPU renders queued frames back to back.
+        acc = jnp.float32(0.0)
+        for i in range(chain):
+            arrays_i = builtin.animate_arrays(arrays, t_start + 0.0333 * i)
+            img = trace.render_frame(Scene(layout, arrays_i), width, height)
+            # Scalar checksum forces the device computation to complete
+            # before the host timestamp (block_until_ready alone does not
+            # synchronize on remote-plugin backends) while transferring
+            # only 4 bytes — the DispatchRays GPU-timer bracket analog.
+            acc = acc + jnp.sum(img)
+        return acc
 
     arrays0 = scene0.arrays
     for i in range(warmup):
-        float(render(arrays0, 0.033 * i))
+        float(render(arrays0, 0.0333 * chain * i))
 
-    # Steady-state throughput with frames in flight — the reference's own
+    # Steady-state throughput with windows in flight — the reference's own
     # fps semantics (triple-buffered swapchain, fps averaged over a 1 s
-    # window: Renderer.cpp:374-399 + fence pacing): frames dispatch
-    # asynchronously and the wall clock covers the whole window, so
-    # per-dispatch host latency amortizes exactly as the reference's
-    # 3-frames-in-flight pacing amortizes Present latency.
+    # window: Renderer.cpp:374-399 + fence pacing): windows dispatch
+    # asynchronously and the wall clock covers all rendered frames.
+    windows = max(1, frames // chain)
     t0 = time.perf_counter()
-    checksums = [render(arrays0, 0.033 * i) for i in range(frames)]
+    checksums = [render(arrays0, 0.0333 * chain * i) for i in range(windows)]
     for c in checksums:
         float(c)
     wall = time.perf_counter() - t0
 
-    frame_ms = wall / frames * 1e3
+    frame_ms = wall / (windows * chain) * 1e3
     fps = 1e3 / frame_ms
     mrays = width * height * fps / 1e6
     return {
@@ -91,7 +101,8 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: in
             "fps": round(fps, 3),
             "width": width,
             "height": height,
-            "frames": frames,
+            "frames": windows * chain,
+            "chain": chain,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
@@ -106,8 +117,11 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--chain", type=int, default=4,
+                   help="animated frames per dispatch window")
     args = p.parse_args()
-    result = run_bench(args.width, args.height, args.frames, args.warmup)
+    result = run_bench(args.width, args.height, args.frames, args.warmup,
+                       args.chain)
     print(json.dumps(result))
 
 

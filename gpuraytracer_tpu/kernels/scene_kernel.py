@@ -56,6 +56,13 @@ _MB_NORMAL_EPS = 0.5773 * 0.00001
 # lanes hostage for 512 iterations. Measured on v5e at 1080p: 76 -> ~50 ms.
 PHASE_BUDGET = 64
 
+# Micro-steps per outer while iteration in the guarded marchers. Smaller
+# unrolls check done/paused more often (finer convoy granularity, faster
+# crawl-resume cadence) at the cost of more while-loop iterations;
+# module-level so profiling tools can sweep them.
+UNROLL_SDF = 12
+UNROLL_MB = 16
+
 
 def _normal_at(distance_fn, p: V3) -> V3:
     e = _NORMAL_EPS
@@ -71,7 +78,7 @@ def _normal_at(distance_fn, p: V3) -> V3:
 
 
 def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
-               unroll=12, max_steps=SDF_MAX_STEPS, cull_backface=True):
+               unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True):
     """Pause/check sphere trace over one tile, march state in VMEM scratch
     refs. Bit-identical to the reference march semantics
     (SignedDistancePrimitives.hlsli:287-319, same step accounting as
@@ -84,6 +91,8 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
     unroll steps for unroll evals instead of unroll+4 (the value-carry
     form paid the check every iteration — ~25% of all march evals on
     clean tiles)."""
+    if unroll is None:
+        unroll = UNROLL_SDF
     t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref = scratch
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0
@@ -168,7 +177,7 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
     return t_hit < inf, t_hit, capped
 
 
-def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=16,
+def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None,
                      max_steps=METABALL_MAX_STEPS,
                      step_div=METABALL_MAX_STEPS):
     """Fixed-step isosurface march (VolumetricPrimitives.hlsli:151-202)
@@ -179,6 +188,8 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=16,
     step_div fixes the step SIZE divisor at the reference's 128 even when
     max_steps is a smaller phase budget — a budgeted march must be a strict
     prefix of the full march, not a coarser one."""
+    if unroll is None:
+        unroll = UNROLL_MB
     t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref = scratch
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0

@@ -1,0 +1,117 @@
+"""Fused-frame device-time (slope) with kernel knob overrides.
+
+Chains N animated fused frames in one program; slope = per-frame device
+time (the ~25 ms per-dispatch tunnel floor cancels). Knobs:
+
+  --budget N      override every SDF step budget (march-cost attribution:
+                  budget 4 ~= the frame's march-independent fixed cost)
+  --mb-steps N    override the metaball budget the same way
+  --unroll-sdf N  marcher micro-steps per outer iteration
+  --unroll-mb N
+
+Overrides change rendered output (budget) or codegen (unroll) — profiling
+only, never the default path. Run in a fresh process per knob setting
+(module-level constants are read at trace time).
+
+Usage: python tools/profile_fused.py [--n 4] [--budget N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--n", type=int, default=4)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--budget", type=int, default=0)
+    p.add_argument("--mb-steps", type=int, default=0)
+    p.add_argument("--unroll-sdf", type=int, default=0)
+    p.add_argument("--unroll-mb", type=int, default=0)
+    p.add_argument("--tile-rows", type=int, default=0)
+    p.add_argument("--tile-cols", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gpuraytracer_tpu.kernels import scene_kernel
+    import gpuraytracer_tpu.core.types as types_mod
+
+    if args.unroll_sdf:
+        scene_kernel.UNROLL_SDF = args.unroll_sdf
+    if args.unroll_mb:
+        scene_kernel.UNROLL_MB = args.unroll_mb
+    if args.tile_rows:
+        scene_kernel.TILE_ROWS = args.tile_rows
+    if args.tile_cols:
+        scene_kernel.TILE_COLS = args.tile_cols
+    if args.mb_steps:
+        # read at trace time by the marchers
+        scene_kernel.METABALL_MAX_STEPS = args.mb_steps
+
+    from gpuraytracer_tpu.accel.instances import Scene
+    from gpuraytracer_tpu.models import builtin
+    from gpuraytracer_tpu.render import trace
+
+    W, H = args.width, args.height
+    scene0 = builtin.build_scene(aspect=W / H, elapsed_time=0.7)
+    layout = scene0.layout
+    if args.budget:
+        g = len(layout.kinds)
+        layout = dataclasses.replace(
+            layout, step_budgets=tuple([args.budget] * g)
+        )
+    arrays = scene0.arrays
+
+    def make(n):
+        @jax.jit
+        def f(a):
+            acc = jnp.float32(0.0)
+            for i in range(n):
+                ai = builtin.animate_arrays(a, 0.033 * (i + 1))
+                img = trace.render_frame(Scene(layout, ai), W, H)
+                acc = acc + jnp.sum(img)
+            return acc
+        return f
+
+    def timed(fn):
+        for _ in range(2):
+            float(fn(arrays))
+        t0 = time.perf_counter()
+        outs = [fn(arrays) for _ in range(args.iters)]
+        for o in outs:
+            float(o)
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    t1 = timed(make(1))
+    tn = timed(make(args.n))
+    slope = (tn - t1) / (args.n - 1)
+    print(json.dumps({
+        "width": W, "height": H, "n": args.n,
+        "budget": args.budget or "ref", "mb_steps": args.mb_steps or "ref",
+        "unroll_sdf": scene_kernel.UNROLL_SDF,
+        "unroll_mb": scene_kernel.UNROLL_MB,
+        "tile": [scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS],
+        "t1_ms": round(t1, 2), "tN_ms": round(tn, 2),
+        "frame_device_ms": round(slope, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
