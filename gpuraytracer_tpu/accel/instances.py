@@ -54,6 +54,14 @@ class SceneLayout:
     # Framework-extension geometry (DE fractals) may choose smaller budgets;
     # reference primitives must keep 512 for parity.
     step_budgets: Tuple[int, ...] | None = None
+    # Optional static geometry PROCESSING order (a permutation of
+    # range(len(kinds))) for the tile kernels: near-to-camera first, so the
+    # tile's shrinking best_t rejects far geometries' slab gates before
+    # their marches run — the closest-hit reduction is order independent
+    # (strict-< min; DXR traversal order is unspecified anyway). None =
+    # definition order. Built once per scene from the static camera eye
+    # and BLAS-space AABB centers.
+    traversal_order: Tuple[int, ...] | None = None
 
     @property
     def num_procedural(self) -> int:

@@ -174,6 +174,7 @@ def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max
         o_blas, d_blas, active, t0, *params,
         geoms=geoms, clusters=layout.clusters,
         step_budgets=layout.step_budgets, cull_backface=cull_backface,
+        order=layout.traversal_order,
     )
     hit_proc = gid >= 0
     up = jnp.zeros_like(origins).at[..., 1].set(1.0)
@@ -312,6 +313,7 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
             geoms=geoms, clusters=layout.clusters,
             step_budgets=layout.step_budgets,
             cull_backface=True, accept_first=True,
+            order=layout.traversal_order,
         )
         return (hit_p | (gid >= 0)) & active
 

@@ -147,6 +147,7 @@ def _frame_kernel(
     clusters: Tuple[Tuple[int, ...], ...],
     step_budgets: Tuple[int, ...],
     cull_backface: bool,
+    order: Tuple[int, ...] | None,
     max_depth: int,
     width: int,
     height: int,
@@ -202,7 +203,7 @@ def _frame_kernel(
             geoms, clusters, step_budgets, cull_backface, False, "single",
             ob, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref,
             mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s, None,
-            tuple(march_scratch),
+            tuple(march_scratch), order=order,
         )
         best_t = thit_s[:]
         gid = gid_s[:]
@@ -237,7 +238,7 @@ def _frame_kernel(
             geoms, clusters, step_budgets, True, True, "single",
             obs, sd, shadow_active & ~hit_p2, t0s, b2l_ref, l2b_ref,
             sscale_ref, aabb_ref, mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s,
-            None, tuple(march_scratch),
+            None, tuple(march_scratch), order=order,
         )
         in_shadow = (hit_p2 | (gid_s[:] >= 0)) & shadow_active
 
@@ -306,8 +307,8 @@ def _frame_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "geoms", "clusters", "step_budgets", "cull_backface", "max_depth",
-        "width", "height", "plane_gid", "interpret",
+        "geoms", "clusters", "step_budgets", "cull_backface", "order",
+        "max_depth", "width", "height", "plane_gid", "interpret",
     ),
 )
 def render_frame_tiles(
@@ -324,6 +325,7 @@ def render_frame_tiles(
     clusters: Tuple[Tuple[int, ...], ...] | None = None,
     step_budgets: Tuple[int, ...] | None = None,
     cull_backface: bool = True,
+    order: Tuple[int, ...] | None = None,
     max_depth: int = 3,
     width: int,
     height: int,
@@ -386,7 +388,8 @@ def render_frame_tiles(
     ]
     kernel = functools.partial(
         _frame_kernel, tuple(geoms), tuple(clusters), tuple(step_budgets),
-        cull_backface, max_depth, width, height, plane_gid,
+        cull_backface, tuple(order) if order is not None else None,
+        max_depth, width, height, plane_gid,
         int(m),
     )
     r, gc, b, a = pl.pallas_call(
@@ -449,6 +452,7 @@ def pack_frame_params(scene, aspect_unused=None):
             geoms=geoms,
             clusters=layout.clusters,
             step_budgets=layout.step_budgets,
+            order=layout.traversal_order,
             plane_gid=int(layout.plane_geometry_id),
         ),
     )

@@ -63,6 +63,75 @@ PHASE_BUDGET = 64
 UNROLL_SDF = 12
 UNROLL_MB = 16
 
+# March convoy granularity: the march while-loops run independently on
+# TILE_COLS / MARCH_HALVES column blocks, so one slow (crawl) lane stalls
+# only its own block instead of the whole tile, while per-tile fixed costs
+# (gates, transforms, epilogues) stay amortized at full tile width. 1 =
+# whole tile; 2 = (8, 128) blocks (the native VPU width). Result-exact
+# (marches are per-lane independent).
+MARCH_HALVES = 1
+
+
+def _split_v3(v: V3, h: int, n: int) -> V3:
+    w = v.x.shape[-1] // n
+    sl = slice(h * w, (h + 1) * w)
+    return V3(v.x[..., sl], v.y[..., sl], v.z[..., sl])
+
+
+def _march_split(part_fn, o, d, gate, t_max, scratch, n):
+    """Run a marcher independently over n column blocks (sliced values +
+    sliced scratch-ref views), concatenating the per-block results."""
+    w = gate.shape[-1] // n
+    hits, ts, caps = [], [], []
+    for h in range(n):
+        sl = slice(h * w, (h + 1) * w)
+        out = part_fn(
+            _split_v3(o, h, n), _split_v3(d, h, n), gate[..., sl],
+            t_max[..., sl],
+            tuple(r.at[:, sl] for r in scratch),
+        )
+        hits.append(out[0])
+        ts.append(out[1])
+        caps.append(out[2])
+    return (
+        jnp.concatenate(hits, axis=-1),
+        jnp.concatenate(ts, axis=-1),
+        jnp.concatenate(caps, axis=-1),
+    )
+
+
+def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
+               unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True):
+    n = MARCH_HALVES
+    if n <= 1 or gate.shape[-1] % (n * 128) != 0:
+        return _march_sdf_part(distance_fn, o, d, gate, t_max, step_scale,
+                               scratch, unroll=unroll, max_steps=max_steps,
+                               cull_backface=cull_backface)
+    return _march_split(
+        lambda oo, dd, g, tm, sc: _march_sdf_part(
+            distance_fn, oo, dd, g, tm, step_scale, sc, unroll=unroll,
+            max_steps=max_steps, cull_backface=cull_backface,
+        ),
+        o, d, gate, t_max, scratch, n,
+    )
+
+
+def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None,
+                     max_steps=METABALL_MAX_STEPS,
+                     step_div=METABALL_MAX_STEPS):
+    n = MARCH_HALVES
+    if n <= 1 or gate.shape[-1] % (n * 128) != 0:
+        return _march_metaballs_part(o, d, gate, t_max, balls, scratch,
+                                     unroll=unroll, max_steps=max_steps,
+                                     step_div=step_div)
+    return _march_split(
+        lambda oo, dd, g, tm, sc: _march_metaballs_part(
+            oo, dd, g, tm, balls, sc, unroll=unroll, max_steps=max_steps,
+            step_div=step_div,
+        ),
+        o, d, gate, t_max, scratch, n,
+    )
+
 
 def _normal_at(distance_fn, p: V3) -> V3:
     e = _NORMAL_EPS
@@ -77,9 +146,10 @@ def _normal_at(distance_fn, p: V3) -> V3:
     ).normalized()
 
 
-def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
-               unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True):
-    """Pause/check sphere trace over one tile, march state in VMEM scratch
+def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
+                    unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True):
+    """Pause/check sphere trace over one tile (or sub-tile column block;
+    see _march_sdf), march state in VMEM scratch
     refs. Bit-identical to the reference march semantics
     (SignedDistancePrimitives.hlsli:287-319, same step accounting as
     geometry/sdf.sphere_trace): crossings pause the lane, the validity
@@ -177,9 +247,9 @@ def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
     return t_hit < inf, t_hit, capped
 
 
-def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None,
-                     max_steps=METABALL_MAX_STEPS,
-                     step_div=METABALL_MAX_STEPS):
+def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None,
+                          max_steps=METABALL_MAX_STEPS,
+                          step_div=METABALL_MAX_STEPS):
     """Fixed-step isosurface march (VolumetricPrimitives.hlsli:151-202)
     over one tile, ref-state form with the 6-eval facing check under
     pl.when (see _march_sdf). balls: tuple of 3 (cx, cy, cz, r) scalar
@@ -527,6 +597,7 @@ def _scene_kernel(
     step_budgets: Tuple[int, ...],
     cull_backface: bool,
     accept_first: bool,
+    order: Tuple[int, ...] | None,
     phase: str,  # "single" | "main" | "finish" (two-phase dirty-tile scheme)
     # refs — layout depends on phase:
     #   single: 8 ray planes, 5 SMEM tables, 5 outputs
@@ -587,6 +658,7 @@ def _scene_kernel(
         geoms, clusters, step_budgets, cull_backface, accept_first, phase,
         o, d, active, t0_ref[:], b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
         thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
+        order=order,
     )
 
 
@@ -594,6 +666,7 @@ def _traverse_tile(
     geoms, clusters, step_budgets, cull_backface, accept_first, phase,
     o, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
     thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
+    order=None,
 ):
     # Closest-hit state lives in the OUTPUT refs so each geometry's entire
     # body (local transform + intersector + reduction) can sit under a
@@ -728,9 +801,15 @@ def _traverse_tile(
         pl.when(jnp.any(gate))(process)
 
     g_count = len(geoms)
+    if order is None:
+        order = tuple(range(g_count))
+    rank = {g: i for i, g in enumerate(order)}
     if len(clusters) == 1:
         # Flat traversal: one implicit cluster needs no extra gate.
-        for g, (kind, code) in enumerate(geoms):
+        # Processing near geometries first (layout.traversal_order) lets
+        # the shrinking best_t reject far gates before their marches.
+        for g in order:
+            kind, code = geoms[g]
             handle_geometry(g, kind, code)
     else:
         # Two-level traversal (accel/bvh.py): one slab test against the
@@ -738,7 +817,12 @@ def _traverse_tile(
         # misses the cluster pays a single test for the whole group. The
         # tile's shrinking best_t bounds cluster gates exactly like
         # geometry gates (closer cluster hits reject farther clusters).
-        for k, members in enumerate(clusters):
+        cluster_order = sorted(
+            range(len(clusters)),
+            key=lambda k: min(rank[g] for g in clusters[k]),
+        )
+        for k in cluster_order:
+            members = sorted(clusters[k], key=lambda g: rank[g])
             row = g_count + k
             tmin_c, tmax_c = soa.aabb_interval(
                 o, d,
@@ -819,7 +903,7 @@ def _traverse_tile(
             pl.when(jnp.any(won))(epilogue)
 
 
-@functools.partial(jax.jit, static_argnames=("geoms", "clusters", "step_budgets", "cull_backface", "accept_first", "two_phase", "debug_dirty", "interpret"))
+@functools.partial(jax.jit, static_argnames=("geoms", "clusters", "step_budgets", "cull_backface", "accept_first", "order", "two_phase", "debug_dirty", "interpret"))
 def scene_closest_tiles(
     o_blas,  # (H, W, 3)
     d_blas,  # (H, W, 3)
@@ -836,6 +920,7 @@ def scene_closest_tiles(
     step_budgets: Tuple[int, ...] | None = None,
     cull_backface: bool = True,
     accept_first: bool = False,
+    order: Tuple[int, ...] | None = None,
     two_phase: bool = False,
     debug_dirty: bool = False,
     interpret: bool = False,
@@ -925,7 +1010,8 @@ def scene_closest_tiles(
     def make_kernel(phase):
         return functools.partial(
             _scene_kernel, tuple(geoms), tuple(clusters), tuple(step_budgets),
-            cull_backface, accept_first, phase,
+            cull_backface, accept_first,
+            tuple(order) if order is not None else None, phase,
         )
 
     # March-state scratch (t, steps, done, paused, resume, t_hit) — see

@@ -137,12 +137,37 @@ class SceneBuilder:
                 SDF_MAX_STEPS if s.step_budget is None else int(s.step_budget)
                 for s in self._instances
             )
+        order = None
+        if len(self._instances) > 1:
+            # Near-to-camera-first processing order (SceneLayout
+            # .traversal_order): tile kernels shrink best_t on near
+            # geometry before far gates run. Eye in BLAS space: the
+            # instance AABBs live there (ray_to_blas subtracts the
+            # translation, Renderer.cpp:778-781).
+            eye = (np.asarray(self.camera.eye, dtype=np.float64)
+                   - np.asarray(self.blas_offset, dtype=np.float64))
+            centers = np.asarray(
+                [(np.asarray(s.aabb_min, dtype=np.float64)
+                  + np.asarray(s.aabb_max, dtype=np.float64)) * 0.5
+                 for s in self._instances]
+            )
+            d2 = ((centers - eye) ** 2).sum(axis=1)
+            # Closed-form analytic tests first (near-free, bound t for
+            # every march), then marches near-to-far.
+            order = tuple(sorted(
+                range(len(self._instances)),
+                key=lambda i: (
+                    self._instances[i].kind != IntersectorKind.ANALYTIC,
+                    float(d2[i]),
+                ),
+            ))
         return SceneLayout(
             kinds=tuple(s.kind for s in self._instances),
             prim_types=tuple(int(s.prim_type) for s in self._instances),
             has_plane=self.plane_material is not None,
             clusters=clusters,
             step_budgets=budgets,
+            traversal_order=order,
         )
 
     def _material_table(self) -> MaterialTable:

@@ -209,6 +209,24 @@ def default_camera() -> Camera:
     return Camera(eye=(0.0, 5.3, -17.0), at=(0.0, 0.0, 0.0), initial_y_rotation_deg=45.0)
 
 
+# Near-to-camera-first geometry processing order for the tile kernels
+# (SceneLayout.traversal_order): the default camera position is static
+# (orbit off by default, Renderer.cpp:46), so the order is a build-time
+# constant. Eye moves into BLAS space (ray_to_blas subtracts the
+# translation) to match the AABB tables.
+_EYE_BLAS = np.asarray(default_camera().eye) - np.asarray(BLAS_OFFSET)
+_D2 = (((AABB_MIN + AABB_MAX) * 0.5 - _EYE_BLAS.astype(np.float32)) ** 2).sum(axis=1)
+# Closed-form analytic tests are near-free: run them all first to bound t
+# before any march, then marches near-to-far.
+LAYOUT = dataclasses.replace(
+    LAYOUT,
+    traversal_order=tuple(sorted(
+        range(len(LAYOUT.kinds)),
+        key=lambda i: (LAYOUT.kinds[i] != IntersectorKind.ANALYTIC, _D2[i]),
+    )),
+)
+
+
 def build_instance_transforms(elapsed_time) -> InstanceTransforms:
     """update_aabb_primitive_attributes (Renderer.cpp:302-356) as a pure
     function of the animation time. Matrices are column-convention (see

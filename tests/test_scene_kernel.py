@@ -118,3 +118,31 @@ def test_plane_id_merging(rays_and_scene):
     # Wherever XLA says plane, the kernel must say "no procedural hit"
     # (modulo boundary flips).
     assert (plane_kernel | ~plane_ref).mean() > 0.999
+
+
+def test_traversal_order_identical(rays_and_scene):
+    """Near-first processing order (SceneLayout.traversal_order) is a pure
+    scheduling choice: the closest-hit min-reduction result is identical
+    to definition order, bit for bit."""
+    o, d, scene = rays_and_scene
+    arrays, layout = scene.arrays, scene.layout
+    active = jnp.ones((H, W), bool)
+    hit_p, t_p = traverse.intersect_plane(
+        o, d, arrays.plane_origin, arrays.plane_size, t_min=0.0, t_max=RAY_TMAX
+    )
+    t0 = jnp.where(hit_p & active, t_p, RAY_TMAX)
+    ob, db = ray_to_blas(o, d, arrays.blas_offset)
+    params = scene_kernel.pack_params(arrays, arrays.constants.elapsed_time)
+    geoms = tuple(
+        (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
+    )
+    assert layout.traversal_order is not None
+    a = scene_kernel.scene_closest_tiles(
+        ob, db, active, t0, *params, geoms=geoms, interpret=True
+    )
+    b = scene_kernel.scene_closest_tiles(
+        ob, db, active, t0, *params, geoms=geoms,
+        order=layout.traversal_order, interpret=True,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

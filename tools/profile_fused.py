@@ -40,6 +40,8 @@ def main():
     p.add_argument("--unroll-mb", type=int, default=0)
     p.add_argument("--tile-rows", type=int, default=0)
     p.add_argument("--tile-cols", type=int, default=0)
+    p.add_argument("--halves", type=int, default=0,
+                   help="march sub-tile column blocks (MARCH_HALVES)")
     args = p.parse_args()
 
     import jax
@@ -64,6 +66,8 @@ def main():
     if args.mb_steps:
         # read at trace time by the marchers
         scene_kernel.METABALL_MAX_STEPS = args.mb_steps
+    if args.halves:
+        scene_kernel.MARCH_HALVES = args.halves
 
     from gpuraytracer_tpu.accel.instances import Scene
     from gpuraytracer_tpu.models import builtin
@@ -107,6 +111,7 @@ def main():
         "budget": args.budget or "ref", "mb_steps": args.mb_steps or "ref",
         "unroll_sdf": scene_kernel.UNROLL_SDF,
         "unroll_mb": scene_kernel.UNROLL_MB,
+        "halves": scene_kernel.MARCH_HALVES,
         "tile": [scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS],
         "t1_ms": round(t1, 2), "tN_ms": round(tn, 2),
         "frame_device_ms": round(slope, 2),
