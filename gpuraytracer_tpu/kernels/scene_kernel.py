@@ -289,6 +289,25 @@ def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None
     # skipping them immediately is result-identical and saves the march.
     live = gate & (tmax_u >= tmin)
 
+    # Closest-approach potential bound: the quintic falloff is monotone
+    # decreasing in distance, so each ball's potential along the marched
+    # segment [tmin, tmax_u] is maximized at its closest approach t*
+    # clamped to the segment; the sum of those maxima bounds the total
+    # potential at EVERY sample. Below the iso threshold no march step
+    # can cross — miss without marching, result-identical. About half of
+    # bounding-sphere-crossing lanes bound out (iso 0.25 is reached only
+    # within ~0.68 of a ball radius).
+    dd = d.dot(d)
+    bound = zero
+    for cx, cy, cz, r in balls:
+        lx, ly, lz = cx - o.x, cy - o.y, cz - o.z
+        t_star = (d.x * lx + d.y * ly + d.z * lz) / jnp.maximum(dd, 1e-30)
+        t_star = jnp.clip(t_star, tmin, tmax_u)
+        p_star = V3(o.x + t_star * d.x, o.y + t_star * d.y,
+                    o.z + t_star * d.z)
+        bound = bound + soa.metaball_potential_soa(p_star, cx, cy, cz, r)
+    live = live & (bound >= METABALL_ISO_THRESHOLD)
+
     t_ref[:] = tmin
     steps_ref[:] = izero
     done_ref[:] = jnp.where(live, izero, izero + 1)

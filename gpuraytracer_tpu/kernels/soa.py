@@ -244,18 +244,22 @@ def distance_fractal_pyramid(p: V3):
         (-a, 0.0, -a),
     )
     for _ in range(FRACTAL_ITERATIONS_COUNT):
-        vx, vy, vz = verts[0]
-        best_x = jnp.full_like(pos.x, vx)
-        best_y = jnp.full_like(pos.x, vy)
-        best_z = jnp.full_like(pos.x, vz)
-        best_d = (pos - V3(best_x, best_y, best_z)).length_sq()
-        for vx, vy, vz in verts[1:]:
-            dv = (pos - V3(vx, vy, vz)).length_sq()
-            closer = dv < best_d
-            best_x = jnp.where(closer, vx, best_x)
-            best_y = jnp.where(closer, vy, best_y)
-            best_z = jnp.where(closer, vz, best_z)
-            best_d = jnp.where(closer, dv, best_d)
+        # Closest of the 5 fold vertices (apex + 4 base corners). The
+        # closest base corner separates per axis: dist^2 = (x -+ a)^2 +
+        # y^2 + (z -+ a)^2, so it is (sign(x)a, 0, sign(z)a) — two selects
+        # replace four length_sq comparisons. Equivalent to the ordered
+        # strict-< scan everywhere except exact-zero coordinate ties
+        # (measure-zero; the XLA reference path keeps the ordered scan).
+        bx = jnp.where(pos.x > 0.0, a, -a)
+        bz = jnp.where(pos.z > 0.0, a, -a)
+        d_base = (pos - V3(bx, jnp.zeros_like(bx), bz)).length_sq()
+        d_apex = (pos - V3(*verts[0])).length_sq()
+        # The ordered scan seeds with the apex and replaces on STRICT <,
+        # so the apex wins distance ties.
+        apex = d_apex <= d_base
+        best_x = jnp.where(apex, verts[0][0], bx)
+        best_y = jnp.where(apex, verts[0][1], 0.0)
+        best_z = jnp.where(apex, verts[0][2], bz)
         pos = V3(
             scale * pos.x - best_x * (scale - 1.0),
             scale * pos.y - best_y * (scale - 1.0),
