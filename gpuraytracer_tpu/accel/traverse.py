@@ -90,10 +90,25 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             active=gate,
         )
     elif kind == IntersectorKind.SIGNED_DISTANCE:
-        # Extension DE fractals (codes >= 7) skip back-face culling — see
-        # kernels/scene_kernel.py; reference primitives keep cull parity.
+        # Extension DE fractals (codes >= 7) skip back-face culling and are
+        # DEFINED clipped to their unit AABB: the march window is
+        # [max(entry, t_min), min(exit, t_max)], so empty space before the
+        # box and miss lanes beyond it cost nothing. The ray parameter t is
+        # shared between spaces (ray_to_local preserves it), so the local
+        # [-1,1]^3 slab interval is the window. Reference primitives march
+        # from t=0 to RayTCurrent for parity (scene_kernel mirrors both).
+        t_lo = None
+        t_hi = t_max
         if int(prim_type) >= 7:
             cull = False
+            w_lo, w_hi = analytic.aabb_interval(
+                o_loc, d_loc, (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+            )
+            t_lo = jnp.maximum(w_lo, t_min)
+            t_hi = jnp.minimum(
+                jnp.asarray(t_max, dtype=o_loc.dtype), w_hi
+            )
+            gate = gate & (w_hi > w_lo) & (t_hi > t_lo)
         # On TPU, route the march through the Pallas per-tile megakernel
         # (kernels/megakernel.py) — each (8,128)-pixel tile early-exits on
         # its own slowest ray and skips gated-out geometry entirely. The
@@ -105,12 +120,17 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
         steps = SDF_MAX_STEPS if max_steps is None else int(max_steps)
         if megakernel.pallas_available() and o_loc.ndim == 3:
             t_max_arr = jnp.broadcast_to(
-                jnp.asarray(t_max, dtype=o_loc.dtype), o_loc.shape[:-1]
+                jnp.asarray(t_hi, dtype=o_loc.dtype), o_loc.shape[:-1]
             )
+            t_start_arr = None
+            if t_lo is not None:
+                t_start_arr = jnp.broadcast_to(
+                    jnp.asarray(t_lo, dtype=o_loc.dtype), o_loc.shape[:-1]
+                )
             return megakernel.sphere_trace_tiles(
                 o_loc, d_loc, gate, t_max_arr, step_scale,
                 prim_code=int(prim_type), cull_backface=cull,
-                max_steps=steps,
+                max_steps=steps, t_start=t_start_arr,
             )
         distance_fn = sdf.DISTANCE_FUNCTIONS[int(prim_type)]
         return sdf.sphere_trace(
@@ -118,8 +138,8 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             d_loc,
             distance_fn,
             step_scale=step_scale,
-            t_min=t_min,
-            t_max=t_max,
+            t_min=t_min if t_lo is None else t_lo,
+            t_max=t_hi,
             cull_backface=cull,
             active=gate,
             max_steps=steps,

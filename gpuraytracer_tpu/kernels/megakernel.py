@@ -45,7 +45,7 @@ def _tile_march_kernel(
     # refs:
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
-    gate_ref, tmax_ref, scale_ref,
+    gate_ref, tmax_ref, tstart_ref, scale_ref,
     thit_ref, nx_ref, ny_ref, nz_ref,
     *march_scratch,
 ):
@@ -59,12 +59,16 @@ def _tile_march_kernel(
     d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
     gate = gate_ref[:] != 0
     t_max = tmax_ref[:]
+    # March start plane: zeros for reference semantics, the AABB-window
+    # entry for extension primitives (see accel/traverse.py).
+    t_start = tstart_ref[:]
     step_scale = scale_ref[0, 0]
     inf = jnp.float32(jnp.inf)
 
     _, t_hit, _ = _march_sdf(
         distance_fn, o, d, gate, t_max, step_scale, tuple(march_scratch),
         unroll=unroll, max_steps=max_steps, cull_backface=cull_backface,
+        t_start=t_start,
     )
 
     hit = t_hit < inf
@@ -95,6 +99,7 @@ def sphere_trace_tiles(
     cull_backface: bool = True,
     max_steps: int = SDF_MAX_STEPS,
     unroll: int = 8,
+    t_start=None,  # (H, W) f32 march start (AABB-windowed extensions)
     interpret: bool = False,
 ):
     """Per-tile Pallas sphere trace. Returns (hit, t_hit, normal) like
@@ -109,11 +114,14 @@ def sphere_trace_tiles(
             x = jnp.pad(x, ((0, ph), (0, pw)), constant_values=fill)
         return x
 
+    if t_start is None:
+        t_start = jnp.zeros_like(t_max)
     planes = [
         pad2(origins[..., 0], 0.0), pad2(origins[..., 1], 0.0), pad2(origins[..., 2], 0.0),
         pad2(directions[..., 0], 1.0), pad2(directions[..., 1], 0.0), pad2(directions[..., 2], 0.0),
         pad2(gate.astype(jnp.int32), 0),
         pad2(t_max.astype(jnp.float32), 0.0),
+        pad2(t_start.astype(jnp.float32), 0.0),
     ]
     hp, wp = h + ph, w + pw
     grid = (hp // TILE_ROWS, wp // TILE_COLS)
@@ -134,7 +142,7 @@ def sphere_trace_tiles(
     thit, nx, ny, nz = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tile_spec] * 8 + [scalar_spec],
+        in_specs=[tile_spec] * 9 + [scalar_spec],
         out_specs=[tile_spec] * 4,
         out_shape=[out_shape] * 4,
         scratch_shapes=[

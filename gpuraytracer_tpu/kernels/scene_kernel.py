@@ -78,7 +78,7 @@ def _split_v3(v: V3, h: int, n: int) -> V3:
     return V3(v.x[..., sl], v.y[..., sl], v.z[..., sl])
 
 
-def _march_split(part_fn, o, d, gate, t_max, scratch, n):
+def _march_split(part_fn, o, d, gate, t_max, scratch, n, t_start=None):
     """Run a marcher independently over n column blocks (sliced values +
     sliced scratch-ref views), concatenating the per-block results."""
     w = gate.shape[-1] // n
@@ -89,6 +89,7 @@ def _march_split(part_fn, o, d, gate, t_max, scratch, n):
             _split_v3(o, h, n), _split_v3(d, h, n), gate[..., sl],
             t_max[..., sl],
             tuple(r.at[:, sl] for r in scratch),
+            t_start[..., sl] if t_start is not None else None,
         )
         hits.append(out[0])
         ts.append(out[1])
@@ -101,18 +102,19 @@ def _march_split(part_fn, o, d, gate, t_max, scratch, n):
 
 
 def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
-               unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True):
+               unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True,
+               t_start=None):
     n = MARCH_HALVES
     if n <= 1 or gate.shape[-1] % (n * 128) != 0:
         return _march_sdf_part(distance_fn, o, d, gate, t_max, step_scale,
                                scratch, unroll=unroll, max_steps=max_steps,
-                               cull_backface=cull_backface)
+                               cull_backface=cull_backface, t_start=t_start)
     return _march_split(
-        lambda oo, dd, g, tm, sc: _march_sdf_part(
+        lambda oo, dd, g, tm, sc, ts: _march_sdf_part(
             distance_fn, oo, dd, g, tm, step_scale, sc, unroll=unroll,
-            max_steps=max_steps, cull_backface=cull_backface,
+            max_steps=max_steps, cull_backface=cull_backface, t_start=ts,
         ),
-        o, d, gate, t_max, scratch, n,
+        o, d, gate, t_max, scratch, n, t_start=t_start,
     )
 
 
@@ -125,7 +127,7 @@ def _march_metaballs(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None,
                                      unroll=unroll, max_steps=max_steps,
                                      step_div=step_div)
     return _march_split(
-        lambda oo, dd, g, tm, sc: _march_metaballs_part(
+        lambda oo, dd, g, tm, sc, ts: _march_metaballs_part(
             oo, dd, g, tm, balls, sc, unroll=unroll, max_steps=max_steps,
             step_div=step_div,
         ),
@@ -147,7 +149,8 @@ def _normal_at(distance_fn, p: V3) -> V3:
 
 
 def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
-                    unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True):
+                    unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True,
+                    t_start=None):
     """Pause/check sphere trace over one tile (or sub-tile column block;
     see _march_sdf), march state in VMEM scratch
     refs. Bit-identical to the reference march semantics
@@ -174,7 +177,9 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
 
     t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
 
-    t_ref[:] = zero
+    # t_start: optional per-lane march start (0 = the reference's RayTMin
+    # semantics; extension AABB-windowed primitives start at slab entry).
+    t_ref[:] = zero if t_start is None else zero + t_start
     steps_ref[:] = izero
     done_ref[:] = jnp.where(gate, izero, izero + 1)
     paused_ref[:] = izero
@@ -367,7 +372,8 @@ def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None
 
 
 def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
-                      unroll=8, max_steps=SDF_MAX_STEPS, cull_backface=True):
+                      unroll=8, max_steps=SDF_MAX_STEPS, cull_backface=True,
+                      t_start=None):
     """Direct transcription of RaySignedDistancePrimitiveTest
     (SignedDistancePrimitives.hlsli:287-319): the validity check (4-eval
     tetrahedral normal + cull + range) runs INLINE at every step, so
@@ -381,7 +387,8 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
     from gpuraytracer_tpu.geometry.sdf import march_escape_t
 
     t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
-    state0 = (zero, izero, jnp.where(gate, izero, izero + 1), zero + inf)
+    t0 = zero if t_start is None else zero + t_start
+    state0 = (t0, izero, jnp.where(gate, izero, izero + 1), zero + inf)
 
     def cond(state):
         _, _, done_i, _ = state
@@ -545,10 +552,17 @@ def _finish_tile(
                 kind == int(IntersectorKind.SIGNED_DISTANCE) and int(code) >= 7
             )
             if kind == int(IntersectorKind.SIGNED_DISTANCE):
+                if int(code) >= 7:
+                    # AABB-windowed extension semantics (see _traverse_tile).
+                    t_lo = jnp.maximum(tmin_g, 0.0)
+                    t_hi = jnp.minimum(best_t, tmax_g)
+                else:
+                    t_lo = None
+                    t_hi = best_t
                 hit, t = _march_sdf_inline(
                     soa.DISTANCE_FUNCTIONS_SOA[int(code)], o_loc, d_loc, gate,
-                    best_t, sscale_ref[g, 0], cull_backface=cull_g,
-                    max_steps=step_budgets[g],
+                    t_hi, sscale_ref[g, 0], cull_backface=cull_g,
+                    max_steps=step_budgets[g], t_start=t_lo,
                 )
             else:
                 balls = tuple(
@@ -760,10 +774,22 @@ def _traverse_tile(
                 budget = step_budgets[g]
                 if phase == "main":
                     budget = min(PHASE_BUDGET, budget)
+                if int(code) >= 7:
+                    # Extension DE fractals are DEFINED clipped to their
+                    # AABB: the march window is [max(entry, 0),
+                    # min(exit, RayTCurrent)] — miss lanes stop at the box
+                    # exit instead of the global escape bound, and empty
+                    # space before the box costs nothing. (Reference
+                    # primitives march from t=0 for parity.)
+                    t_lo = jnp.maximum(tmin_g, 0.0)
+                    t_hi = jnp.minimum(best_t, tmax_g)
+                else:
+                    t_lo = None
+                    t_hi = best_t
                 hit, t, capped = _march_sdf(
-                    distance_fn, o_loc, d_loc, gate, best_t,
+                    distance_fn, o_loc, d_loc, gate, t_hi,
                     sscale_ref[g, 0], march_scratch, cull_backface=cull_g,
-                    max_steps=budget,
+                    max_steps=budget, t_start=t_lo,
                 )
                 if phase == "main" and budget < step_budgets[g]:
                     dirty_ref[:] = dirty_ref[:] | (

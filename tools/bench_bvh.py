@@ -53,7 +53,7 @@ def main():
     )
     params = scene_kernel.pack_params(arrays, arrays.constants.elapsed_time)
 
-    def make(clusters):
+    def make(clusters, n_chain):
         @jax.jit
         def run(arrays_in):
             px, py = cam.pixel_grid(W, H)
@@ -64,29 +64,49 @@ def main():
             )
             ob, db = ray_to_blas(o, d, arrays_in.blas_offset)
             active = jnp.ones((H, W), bool)
+            acc = jnp.float32(0.0)
             t0 = jnp.full((H, W), RAY_TMAX, jnp.float32)
-            bt, _, gid = scene_kernel.scene_closest_tiles(
-                ob, db, active, t0, *params, geoms=geoms, clusters=clusters,
-            )
-            return jnp.sum(jnp.where(jnp.isfinite(bt), bt, 0.0)) + jnp.sum(gid)
+            for i in range(n_chain):
+                bt, nrm, gid = scene_kernel.scene_closest_tiles(
+                    ob, db, active, t0, *params, geoms=geoms,
+                    clusters=clusters,
+                )
+                acc = acc + jnp.sum(jnp.where(jnp.isfinite(bt), bt, 0.0)) + jnp.sum(gid)
+                # Data dependency so XLA cannot CSE the chained passes:
+                # bounce off the hits.
+                hitp = ob + bt[..., None] * db
+                ob = jnp.where(jnp.isfinite(bt)[..., None], hitp, ob)
+                db = jnp.where(
+                    jnp.isfinite(bt)[..., None],
+                    db - 2.0 * jnp.sum(db * nrm, -1, keepdims=True) * nrm, db,
+                )
+            return acc
 
         return run
 
-    results = {"n_instances": args.n, "width": W, "height": H,
-               "n_clusters": len(layout.clusters)}
-    outs = {}
-    for name, clusters in (("flat", None), ("clustered", layout.clusters)):
-        fn = make(clusters)
-        outs[name] = float(fn(arrays))  # compile + correctness capture
+    def timed(fn):
         for _ in range(2):
             float(fn(arrays))
         t0 = time.perf_counter()
         vals = [fn(arrays) for _ in range(args.iters)]
         for v in vals:
             float(v)
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    # The remote tunnel has a ~25 ms per-dispatch host floor; the pass
+    # cost is the SLOPE between 1-pass and N-pass chained programs
+    # (DEVNOTES slope methodology).
+    N = 4
+    results = {"n_instances": args.n, "width": W, "height": H,
+               "n_clusters": len(layout.clusters)}
+    outs = {}
+    for name, clusters in (("flat", None), ("clustered", layout.clusters)):
+        outs[name] = float(make(clusters, 1)(arrays))
+        t1 = timed(make(clusters, 1))
+        tn = timed(make(clusters, N))
+        ms = (tn - t1) / (N - 1)
         results[f"{name}_ms"] = round(ms, 2)
-        print(f"{name:10s} {ms:8.2f} ms", flush=True)
+        print(f"{name:10s} {ms:8.2f} ms/pass (device slope)", flush=True)
 
     assert outs["flat"] == outs["clustered"], "clustered != flat checksum"
     results["speedup"] = round(results["flat_ms"] / results["clustered_ms"], 3)
