@@ -43,44 +43,62 @@ def distance_mandelbulb(p):
     """Power-8 triplex Mandelbulb distance estimate, scaled to live inside
     the unit AABB (the bulb has radius ~1.2, so positions scale by 1.2).
 
-    DE = 0.5 * log(r) * r / dr with the scalar running derivative
-    dr <- power * r^(power-1) * dr + 1.
+    Uses the trig-free polynomial form of the power-8 map (the standard
+    public formulation, e.g. iq's shadertoy "mandelbulb"): the spherical
+    (r, 8*theta, 8*phi) update expands to polynomials in x, y, z, which
+    costs ~80 flops per iteration instead of acos + atan2 + sincos + pow.
+    DE = 0.25 * log(m) * sqrt(m) / dz with the scalar running derivative
+    dz <- 8 * m^3.5 * dz + 1 (identical to 0.5 log r * r / dr, m = r^2).
     """
     scale = 1.2
     pos = p * scale
+    px, py_, pz = pos[..., 0], pos[..., 1], pos[..., 2]
 
     def body(_, state):
-        z, dr, escaped = state
-        r = hlsl.length(z)
-        r = jnp.maximum(r, 1e-9)
-        esc_now = r > MANDELBULB_BAILOUT
-        escaped = escaped | esc_now
-        frozen = escaped
+        wx, wy, wz, dz, m, escaped = state
+        frozen = escaped | (m > MANDELBULB_BAILOUT * MANDELBULB_BAILOUT)
 
-        theta = jnp.arccos(jnp.clip(z[..., 2] / r, -1.0, 1.0))
-        phi = jnp.arctan2(z[..., 1], z[..., 0])
-        dr_new = (
-            jnp.power(r, MANDELBULB_POWER - 1.0) * MANDELBULB_POWER * dr + 1.0
-        )
-        zr = jnp.power(r, MANDELBULB_POWER)
-        theta = theta * MANDELBULB_POWER
-        phi = phi * MANDELBULB_POWER
-        st = jnp.sin(theta)
-        z_new = zr[..., None] * hlsl.vec3(
-            st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta)
-        ) + pos
+        m2 = m * m
+        m4 = m2 * m2
+        dz_new = 8.0 * jnp.sqrt(m4 * m2 * m) * dz + 1.0
 
-        z = jnp.where(frozen[..., None], z, z_new)
-        dr = jnp.where(frozen, dr, dr_new)
-        return z, dr, escaped
+        x, y, z = wx, wy, wz
+        x2 = x * x
+        x4 = x2 * x2
+        y2 = y * y
+        y4 = y2 * y2
+        z2 = z * z
+        z4 = z2 * z2
+        k3 = x2 + z2
+        k3_7 = k3 * k3 * k3 * k3 * k3 * k3 * k3
+        k2 = 1.0 / jnp.sqrt(jnp.maximum(k3_7, 1e-30))
+        k1 = x4 + y4 + z4 - 6.0 * y2 * z2 - 6.0 * x2 * y2 + 2.0 * z2 * x2
+        k4 = x2 - y2 + z2
+        nx = px + 64.0 * x * y * z * (x2 - z2) * k4 * (
+            x4 - 6.0 * x2 * z2 + z4
+        ) * k1 * k2
+        ny = py_ + -16.0 * y2 * k3 * k4 * k4 + k1 * k1
+        nz = pz + -8.0 * y * k4 * (
+            x4 * x4 - 28.0 * x4 * x2 * z2 + 70.0 * x4 * z4
+            - 28.0 * x2 * z2 * z4 + z4 * z4
+        ) * k1 * k2
 
-    z0 = pos
-    dr0 = jnp.ones(pos.shape[:-1], dtype=pos.dtype)
+        wx = jnp.where(frozen, wx, nx)
+        wy = jnp.where(frozen, wy, ny)
+        wz = jnp.where(frozen, wz, nz)
+        dz = jnp.where(frozen, dz, dz_new)
+        m = jnp.where(frozen, m, wx * wx + wy * wy + wz * wz)
+        return wx, wy, wz, dz, m, frozen
+
+    dz0 = jnp.ones(pos.shape[:-1], dtype=pos.dtype)
+    m0 = px * px + py_ * py_ + pz * pz
     escaped0 = jnp.zeros(pos.shape[:-1], dtype=bool)
-    z, dr, _ = jax.lax.fori_loop(0, MANDELBULB_ITERATIONS, body, (z0, dr0, escaped0))
+    _, _, _, dz, m, _ = jax.lax.fori_loop(
+        0, MANDELBULB_ITERATIONS, body, (px, py_, pz, dz0, m0, escaped0)
+    )
 
-    r = jnp.maximum(hlsl.length(z), 1e-9)
-    de = 0.5 * jnp.log(r) * r / dr
+    m = jnp.maximum(m, 1e-18)
+    de = 0.25 * jnp.log(m) * jnp.sqrt(m) / dz
     return de / scale
 
 
