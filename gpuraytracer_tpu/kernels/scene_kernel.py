@@ -71,6 +71,14 @@ UNROLL_MB = 16
 # (marches are per-lane independent).
 MARCH_HALVES = 1
 
+# Occlusion (accept-first) traversals may use the INLINE-check marchers
+# (validity evaluated at every micro-step, ~5 distance evals per step):
+# crawl lanes — shadow rays leaving the surface they start on — advance
+# every micro-step instead of ~2 steps per pause/check outer iteration.
+# Costs ~3.8x on legitimately long marches (metaball interval misses), so
+# default off pending measurement; profiling knob.
+SHADOW_INLINE = False
+
 
 def _split_v3(v: V3, h: int, n: int) -> V3:
     w = v.x.shape[-1] // n
@@ -786,11 +794,19 @@ def _traverse_tile(
                 else:
                     t_lo = None
                     t_hi = best_t
-                hit, t, capped = _march_sdf(
-                    distance_fn, o_loc, d_loc, gate, t_hi,
-                    sscale_ref[g, 0], march_scratch, cull_backface=cull_g,
-                    max_steps=budget, t_start=t_lo,
-                )
+                if accept_first and SHADOW_INLINE:
+                    hit, t = _march_sdf_inline(
+                        distance_fn, o_loc, d_loc, gate, t_hi,
+                        sscale_ref[g, 0], cull_backface=cull_g,
+                        max_steps=budget, t_start=t_lo,
+                    )
+                    capped = hit & False
+                else:
+                    hit, t, capped = _march_sdf(
+                        distance_fn, o_loc, d_loc, gate, t_hi,
+                        sscale_ref[g, 0], march_scratch, cull_backface=cull_g,
+                        max_steps=budget, t_start=t_lo,
+                    )
                 if phase == "main" and budget < step_budgets[g]:
                     dirty_ref[:] = dirty_ref[:] | (
                         capped.astype(jnp.int32) << _dirty_bit(g)

@@ -42,6 +42,8 @@ def main():
     p.add_argument("--tile-cols", type=int, default=0)
     p.add_argument("--halves", type=int, default=0,
                    help="march sub-tile column blocks (MARCH_HALVES)")
+    p.add_argument("--shadow-inline", action="store_true",
+                   help="inline-check marchers for occlusion traversals")
     args = p.parse_args()
 
     import jax
@@ -68,6 +70,8 @@ def main():
         scene_kernel.METABALL_MAX_STEPS = args.mb_steps
     if args.halves:
         scene_kernel.MARCH_HALVES = args.halves
+    if args.shadow_inline:
+        scene_kernel.SHADOW_INLINE = True
 
     from gpuraytracer_tpu.accel.instances import Scene
     from gpuraytracer_tpu.models import builtin
@@ -112,6 +116,7 @@ def main():
         "unroll_sdf": scene_kernel.UNROLL_SDF,
         "unroll_mb": scene_kernel.UNROLL_MB,
         "halves": scene_kernel.MARCH_HALVES,
+        "shadow_inline": scene_kernel.SHADOW_INLINE,
         "tile": [scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS],
         "t1_ms": round(t1, 2), "tN_ms": round(tn, 2),
         "frame_device_ms": round(slope, 2),
