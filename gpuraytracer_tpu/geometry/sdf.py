@@ -326,21 +326,27 @@ def _chunked(batch_fn, per_lane_args, fills, chunk_size):
 
 # --- march escape bound (result-identical early retirement) ---------------
 #
-# Every registered distance function is lower-bounded by a cone in |p|:
-#   dist(p) >= |p| / ESCAPE_ALPHA_INV - ESCAPE_RADIUS
-# (worst case is the fractal pyramid's rescaled fold, alpha ~ 0.26; the
-# extension fractals' DE grows ~|p| ln |p|; boxes/tori/spheres are ~|p| - c.
-# ESCAPE_ALPHA_INV = 5, ESCAPE_RADIUS = 100 leave a wide margin for all.)
+# Every REFERENCE distance function is lower-bounded by a cone in |p|:
+#   dist(p) >= |p| / ESCAPE_ALPHA_INV - ESCAPE_RADIUS / ESCAPE_ALPHA_INV
+# Per-primitive analysis (tests/test_sdf.py pins it empirically out to
+# |p| = 300): box/sphere-bounded composites (mini spheres, round cube,
+# cylinder) have Euclidean slope 1 and radius <= 2; the torus82 family
+# (square/twisted torus, cog — subtraction only raises the distance)
+# slope >= 0.5; the fractal pyramid's 2^4 fold cancels against its
+# 2^-4 rescale, leaving sd_octahedron's minimum Euclidean slope 0.447
+# and radius ~0.9. Global safe envelope: slope 0.4, radius 2.5, doubled
+# margin below. Extension DE fractals (codes >= 7) never rely on this
+# bound — their marches are AABB-windowed (accel/traverse.py).
 # A march crossing needs dist <= SDF_HIT_THRESHOLD * t at p = o + t*d, and
 # |p| >= t*|d| - |o|, so no crossing can exist once
-#   t * (|d| - ESCAPE_ALPHA_INV * threshold) > |o| + ESCAPE_ALPHA_INV * R.
+#   t * (|d| - ESCAPE_ALPHA_INV * threshold) > |o| + ESCAPE_RADIUS.
 # Retiring marching lanes past that t is therefore bit-identical to the
 # reference's march to t > RayTCurrent (it would never cross again), while
 # sky/occlusion lanes whose RayTCurrent is 10000 stop ~2 orders of
 # magnitude sooner. (DEVNOTES "skipping work whose result cannot win".)
 
-ESCAPE_ALPHA_INV = 5.0
-ESCAPE_RADIUS = 100.0  # already multiplied by ESCAPE_ALPHA_INV
+ESCAPE_ALPHA_INV = 2.5
+ESCAPE_RADIUS = 12.0  # already multiplied by ESCAPE_ALPHA_INV (2x margin)
 
 
 def march_escape_t(o_norm, d_norm):

@@ -52,6 +52,11 @@ from gpuraytracer_tpu.kernels.soa import V3
 
 CHECKERS_RATIO = 50.0  # SignedDistancePrimitives.hlsli:174 call site
 
+# Profiling knob: force shadow traversals off (shadow factor = lit) to
+# attribute frame cost between occlusion and bounce-closest passes.
+# Never enabled on a default path.
+PROFILE_NO_SHADOWS = False
+
 
 def _normalize_exact(v: V3) -> V3:
     """Division-form normalize matching core/hlsl.normalize bit-for-bit
@@ -193,6 +198,8 @@ def _frame_kernel(
         # Shadow rays trace at levels where the child radiance recursion
         # is not yet capped (Raytracing.hlsl:117-120; render/trace.py).
         trace_shadow = lvl + 1 < max_depth
+        if PROFILE_NO_SHADOWS:
+            trace_shadow = trace_shadow & False
 
         # --- closest hit: plane (closed form) + scene traversal ---------
         hit_p, t_p = _plane_test(o, d, cvec_ref, RAY_TMAX)

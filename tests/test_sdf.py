@@ -173,3 +173,24 @@ def test_calculate_normal_matches_gradient():
     pos = _p(0.0, 1.0, 0.0)
     n = np.asarray(sdf.calculate_normal(pos, fn))[0]
     np.testing.assert_allclose(n, [0, 1, 0], atol=1e-3)
+
+
+def test_escape_cone_bound_sound():
+    """march_escape_t soundness: every reference distance function obeys
+    dist(p) >= (|p| - ESCAPE_RADIUS) / ESCAPE_ALPHA_INV far from the
+    origin, so retiring marches past the escape t is result-identical
+    (no crossing can exist beyond it)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    radii = rng.uniform(2.0, 300.0, size=(n, 1))
+    pts = jnp.asarray((dirs * radii).astype(np.float32))
+    norms = np.linalg.norm(np.asarray(pts), axis=-1)
+    lower = (norms - sdf.ESCAPE_RADIUS) / sdf.ESCAPE_ALPHA_INV
+    for code in range(7):  # reference primitives only (extensions are
+        d = np.asarray(sdf.DISTANCE_FUNCTIONS[code](pts))  # AABB-windowed)
+        assert (d >= lower - 1e-3).all(), (
+            code, float((d - lower).min()))

@@ -44,6 +44,8 @@ def main():
                    help="march sub-tile column blocks (MARCH_HALVES)")
     p.add_argument("--shadow-inline", action="store_true",
                    help="inline-check marchers for occlusion traversals")
+    p.add_argument("--no-shadows", action="store_true",
+                   help="skip occlusion traversals (cost attribution)")
     args = p.parse_args()
 
     import jax
@@ -72,6 +74,9 @@ def main():
         scene_kernel.MARCH_HALVES = args.halves
     if args.shadow_inline:
         scene_kernel.SHADOW_INLINE = True
+    if args.no_shadows:
+        from gpuraytracer_tpu.kernels import frame_kernel
+        frame_kernel.PROFILE_NO_SHADOWS = True
 
     from gpuraytracer_tpu.accel.instances import Scene
     from gpuraytracer_tpu.models import builtin
