@@ -143,26 +143,59 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             cull_backface=cull,
             active=gate,
             max_steps=steps,
+            # The retirement bound only holds for envelope-verified codes;
+            # extension primitives are AABB-windowed instead (t_hi above).
+            escape_bound=int(prim_type) in sdf.ESCAPE_SAFE_CODES,
         )
     raise ValueError(f"no intersector for kind={kind} type={prim_type}")
 
 
+# Meshes whose total face count stays at or below this ride the Pallas
+# scene kernel (unrolled SMEM Möller–Trumbore); bigger meshes fall back to
+# the XLA lax.scan path (per-face SMEM unrolling stops paying).
+TRI_FACE_CAP = 64
+
+
+def _total_mesh_faces(scene: Scene) -> int:
+    return sum(int(m.num_faces) for m in scene.arrays.meshes)
+
+
 def _scene_kernel_eligible(origins, scene: Scene) -> bool:
     """The whole-scene Pallas megakernel handles 2-D wavefronts whose
-    geometries are all of kinds it implements (every reference kind)."""
+    geometries are all of kinds it implements (every reference kind,
+    including small triangle meshes — Renderer.cpp:575-592)."""
     from gpuraytracer_tpu.kernels import megakernel
 
     supported = (
         IntersectorKind.ANALYTIC,
         IntersectorKind.VOLUMETRIC,
         IntersectorKind.SIGNED_DISTANCE,
+        IntersectorKind.TRIANGLE,
     )
     return (
         megakernel.pallas_available()
         and origins.ndim == 3
         and scene.layout.num_procedural > 0
         and all(k in supported for k in scene.layout.kinds)
+        and _total_mesh_faces(scene) <= TRI_FACE_CAP
     )
+
+
+def pack_tri_rows(arrays):
+    """Concatenate every mesh's face SoA into one (F_total, 12) SMEM table
+    [v0 | e1 | e2 | n] plus per-mesh-slot (start, count) offsets (static:
+    face counts are build-time constants). Returns (None, None) for
+    mesh-free scenes so their kernel signatures stay unchanged."""
+    if not arrays.meshes:
+        return None, None
+    rows = []
+    offsets = []
+    start = 0
+    for m in arrays.meshes:
+        rows.append(jnp.concatenate([m.v0, m.e1, m.e2, m.n], axis=-1))
+        offsets.append((start, int(m.num_faces)))
+        start += int(m.num_faces)
+    return jnp.concatenate(rows, axis=0), tuple(offsets)
 
 
 def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max, cull_backface, active):
@@ -190,11 +223,12 @@ def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max
     geoms = tuple(
         (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
     )
+    tri_rows, tri_offsets = pack_tri_rows(arrays)
     best_t, normal, gid = scene_kernel.scene_closest_tiles(
-        o_blas, d_blas, active, t0, *params,
+        o_blas, d_blas, active, t0, *params, tri_rows,
         geoms=geoms, clusters=layout.clusters,
         step_budgets=layout.step_budgets, cull_backface=cull_backface,
-        order=layout.traversal_order,
+        order=layout.traversal_order, tri_offsets=tri_offsets,
     )
     hit_proc = gid >= 0
     up = jnp.zeros_like(origins).at[..., 1].set(1.0)
@@ -328,12 +362,13 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
         geoms = tuple(
             (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
         )
+        tri_rows, tri_offsets = pack_tri_rows(arrays)
         _, _, gid = scene_kernel.scene_closest_tiles(
-            o_blas, d_blas, active & ~hit_p, t0, *params,
+            o_blas, d_blas, active & ~hit_p, t0, *params, tri_rows,
             geoms=geoms, clusters=layout.clusters,
             step_budgets=layout.step_budgets,
             cull_backface=True, accept_first=True,
-            order=layout.traversal_order,
+            order=layout.traversal_order, tri_offsets=tri_offsets,
         )
         return (hit_p | (gid >= 0)) & active
 

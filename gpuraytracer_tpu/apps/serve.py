@@ -100,8 +100,14 @@ def make_handler(state: PreviewState):
                 try:
                     w = int(q["w"][0])
                     h = int(q["h"][0])
-                    assert 8 <= w <= 7680 and 8 <= h <= 4320
-                except (KeyError, ValueError, AssertionError):
+                except (KeyError, ValueError):
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                # Explicit bounds check (not an assert: python -O strips
+                # asserts and huge/non-positive sizes would reach the
+                # render thread and trigger unbounded recompiles).
+                if not (8 <= w <= 7680 and 8 <= h <= 4320):
                     self.send_response(400)
                     self.end_headers()
                     return

@@ -162,14 +162,18 @@ def distance_julia_quaternion(p, c=JULIA_C):
 
 
 def register():
-    """Install the extended fractals into the SDF dispatch table."""
+    """Install the extended fractals into the SDF dispatch table. DE
+    fractals make no escape-envelope claim — their marches are
+    AABB-windowed (accel/traverse.py, scene_kernel codes >= 7)."""
     from gpuraytracer_tpu.geometry import sdf
 
-    sdf.DISTANCE_FUNCTIONS[int(ExtendedSignedDistancePrimitive.MANDELBULB)] = (
-        distance_mandelbulb
+    sdf.register_distance_function(
+        int(ExtendedSignedDistancePrimitive.MANDELBULB),
+        distance_mandelbulb, aabb_windowed=True,
     )
-    sdf.DISTANCE_FUNCTIONS[int(ExtendedSignedDistancePrimitive.JULIA_QUATERNION)] = (
-        distance_julia_quaternion
+    sdf.register_distance_function(
+        int(ExtendedSignedDistancePrimitive.JULIA_QUATERNION),
+        distance_julia_quaternion, aabb_windowed=True,
     )
 
 

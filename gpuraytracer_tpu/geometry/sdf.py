@@ -259,6 +259,36 @@ DISTANCE_FUNCTIONS = {
     int(SignedDistancePrimitive.FRACTAL_PYRAMID): distance_fractal_pyramid,
 }
 
+# Codes verified (analysis above + tests/test_sdf.py empirical pin) to lie
+# inside the march_escape_t envelope: Lipschitz-lower-bound slope >= 0.4
+# and support radius <= 2.5 local units. Every marcher that applies the
+# escape bound is restricted to this set; codes registered WITHOUT an
+# envelope proof must be AABB-windowed instead (register_distance_function).
+ESCAPE_SAFE_CODES = frozenset(DISTANCE_FUNCTIONS)
+
+
+def register_distance_function(code, fn, *, escape_envelope_verified=False,
+                               aabb_windowed=False):
+    """Register an extension distance function (codes past the reference's
+    0..6). Loud contract for the escape bound (march_escape_t): either the
+    caller asserts the slope-0.4 / radius-2.5 envelope holds
+    (escape_envelope_verified=True, adding the code to ESCAPE_SAFE_CODES)
+    or the primitive must use AABB-windowed march semantics
+    (aabb_windowed=True — marches stop at the slab exit, never relying on
+    the envelope). Anything else would silently retire marches early and
+    lose hits for SDFs outside the envelope."""
+    global ESCAPE_SAFE_CODES
+    code = int(code)
+    if not (escape_envelope_verified or aabb_windowed):
+        raise ValueError(
+            f"distance function code {code}: declare either "
+            "escape_envelope_verified=True (slope >= 0.4, support radius "
+            "<= 2.5 in local units) or aabb_windowed=True"
+        )
+    DISTANCE_FUNCTIONS[code] = fn
+    if escape_envelope_verified:
+        ESCAPE_SAFE_CODES = ESCAPE_SAFE_CODES | {code}
+
 
 def get_distance(p, primitive):
     return DISTANCE_FUNCTIONS[int(primitive)](p)
@@ -369,6 +399,7 @@ def sphere_trace(
     max_steps: int = SDF_MAX_STEPS,
     chunk_size: int | None = None,
     unroll: int | None = None,
+    escape_bound: bool = True,
 ):
     """Wavefront sphere tracer reproducing RaySignedDistancePrimitiveTest.
 
@@ -409,13 +440,18 @@ def sphere_trace(
     def trace_batch(origins, directions, active, t_max):
         zero = (origins[..., 0] + directions[..., 0]) * 0.0
         # Result-identical march retirement bound (see march_escape_t).
-        t_escape = jnp.minimum(
-            t_max,
-            march_escape_t(
-                jnp.linalg.norm(origins, axis=-1),
-                jnp.linalg.norm(directions, axis=-1),
-            ),
-        )
+        # Callers marching a distance function OUTSIDE the verified
+        # envelope (ESCAPE_SAFE_CODES) must pass escape_bound=False.
+        if escape_bound:
+            t_escape = jnp.minimum(
+                t_max,
+                march_escape_t(
+                    jnp.linalg.norm(origins, axis=-1),
+                    jnp.linalg.norm(directions, axis=-1),
+                ),
+            )
+        else:
+            t_escape = t_max
         t0 = zero + t_min
         steps0 = zero.astype(jnp.int32)
         done0 = ~active

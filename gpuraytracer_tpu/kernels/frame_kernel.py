@@ -158,17 +158,41 @@ def _frame_kernel(
     height: int,
     plane_gid: int,
     num_materials: int,
+    budget_cap: int | None,
+    emit_dirty: bool,
+    dense: bool,
+    tri_offsets: Tuple[Tuple[int, int], ...] | None,
     # refs:
     b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref, mat_ref, p2w_ref,
     cvec_ref,
-    r_ref, g_ref, b_ref, a_ref,
-    thit_s, nx_s, ny_s, nz_s, gid_s, *march_scratch,
+    *rest,
 ):
     tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    py = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0) + i * tr
-    px = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1) + j * tc
+    tri_ref = None
+    if tri_offsets is not None:
+        tri_ref, *rest = rest
+    if dense:
+        # Compacted-ray form: pixel coordinates arrive as VMEM planes
+        # (raster-order dirty-lane queue); -1 marks queue padding.
+        px_ref, py_ref, *rest = rest
+        px = px_ref[:]
+        py = py_ref[:]
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # cvec[7,0] is the band row offset (0 single-chip): under shard_map
+        # each device renders pixel rows [off, off + local_height) of the
+        # GLOBAL image (parallel/sharding.py sets it from axis_index).
+        row_off = cvec_ref[7, 0].astype(jnp.int32)
+        py = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0) + i * tr + row_off
+        px = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1) + j * tc
+    r_ref, g_ref, b_ref, a_ref = rest[:4]
+    rest = rest[4:]
+    if emit_dirty:
+        dirty_ref, *rest = rest
+    else:
+        dirty_ref = None
+    thit_s, nx_s, ny_s, nz_s, gid_s, *march_scratch = rest
 
     cam = V3(cvec_ref[0, 0], cvec_ref[0, 1], cvec_ref[0, 2])
     light = V3(cvec_ref[1, 0], cvec_ref[1, 1], cvec_ref[1, 2])
@@ -180,7 +204,11 @@ def _frame_kernel(
     o, d = _raygen(px, py, width, height, cam, p2w_ref)
     zero = o.x * 0.0
     izero = zero.astype(jnp.int32)
-    in_image = (py < height) & (px < width)
+    in_image = (py >= 0) & (px >= 0) & (py < height) & (px < width)
+    if dirty_ref is not None:
+        # Per-lane "any march capped at the budget" accumulator, sticky
+        # across levels and both ray types (see render_frame_compact).
+        dirty_ref[:] = izero
 
     state0 = (
         o.x, o.y, o.z, d.x, d.y, d.z,
@@ -206,12 +234,20 @@ def _frame_kernel(
         hit_p = hit_p & active
         t0 = jnp.where(hit_p, t_p, RAY_TMAX)
         ob = o - blas
-        scene_kernel._traverse_tile(
-            geoms, clusters, step_budgets, cull_backface, False, "single",
-            ob, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref,
-            mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s, None,
-            tuple(march_scratch), order=order,
-        )
+
+        def closest_traversal():
+            scene_kernel._traverse_tile(
+                geoms, clusters, step_budgets, cull_backface, False, "single",
+                ob, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref,
+                mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s, dirty_ref,
+                tuple(march_scratch), order=order, budget_cap=budget_cap,
+                tri_ref=tri_ref, tri_offsets=tri_offsets,
+            )
+
+        # Tile-level activity gate: at bounce levels most tiles are fully
+        # dead (sky, non-reflective winners) — skip the whole traversal.
+        # Stale scratch reads downstream are masked per-lane by `active`.
+        pl.when(jnp.any(active))(closest_traversal)
         best_t = thit_s[:]
         gid = gid_s[:]
         hit_proc = gid >= 0
@@ -241,12 +277,22 @@ def _frame_kernel(
         hit_p2 = hit_p2 & shadow_active
         t0s = jnp.where(hit_p2, 0.0, RAY_TMAX)
         obs = hit_pos - blas
-        scene_kernel._traverse_tile(
-            geoms, clusters, step_budgets, True, True, "single",
-            obs, sd, shadow_active & ~hit_p2, t0s, b2l_ref, l2b_ref,
-            sscale_ref, aabb_ref, mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s,
-            None, tuple(march_scratch), order=order,
-        )
+        shadow_gate = shadow_active & ~hit_p2
+
+        def shadow_traversal():
+            scene_kernel._traverse_tile(
+                geoms, clusters, step_budgets, True, True, "single",
+                obs, sd, shadow_gate, t0s, b2l_ref, l2b_ref,
+                sscale_ref, aabb_ref, mb_ref, thit_s, nx_s, ny_s, nz_s,
+                gid_s, dirty_ref, tuple(march_scratch), order=order,
+                budget_cap=budget_cap, tri_ref=tri_ref,
+                tri_offsets=tri_offsets,
+            )
+
+        # Skipping is exact: when no lane needs the occlusion query, the
+        # stale gid_s is masked by shadow_active below (plane-occluded
+        # lanes use hit_p2 directly).
+        pl.when(jnp.any(shadow_gate))(shadow_traversal)
         in_shadow = (hit_p2 | (gid_s[:] >= 0)) & shadow_active
 
         # --- Phong + fake AO (render/shade.phong_lighting) ---------------
@@ -311,41 +357,10 @@ def _frame_kernel(
     a_ref[:] = state[14]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "geoms", "clusters", "step_budgets", "cull_backface", "order",
-        "max_depth", "width", "height", "plane_gid", "interpret",
-    ),
-)
-def render_frame_tiles(
-    b2l_rows,  # (G, 12) f32
-    l2b_rot,  # (G, 9) f32
-    step_scales,  # (G,) f32
-    aabbs,  # (G, 6) f32
-    mb_params,  # (3, 4) f32
-    materials,  # (M, 8) f32: albedo rgba, refl, diff, spec, spow
-    p2w,  # (4, 4) f32 row-vector projection_to_world
-    cvec,  # (8, 4) f32: cam, light, amb, ldiff, blas_offset, plane_o, plane_s
-    *,
-    geoms: Tuple[Tuple[int, int], ...],
-    clusters: Tuple[Tuple[int, ...], ...] | None = None,
-    step_budgets: Tuple[int, ...] | None = None,
-    cull_backface: bool = True,
-    order: Tuple[int, ...] | None = None,
-    max_depth: int = 3,
-    width: int,
-    height: int,
-    plane_gid: int,
-    interpret: bool = False,
-):
-    """Returns an (H, W, 4) f32 radiance image from ONE pallas_call."""
+def _prepare_call(materials, aabbs, step_scales, b2l_rows, l2b_rot, mb_params,
+                  p2w, cvec, geoms, clusters, step_budgets, tri_rows=None):
+    """Shared SMEM packing for all frame-kernel call forms."""
     from gpuraytracer_tpu.core.types import SDF_MAX_STEPS
-
-    tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
-    hp = height + (-height) % tr
-    wp = width + (-width) % tc
-    grid = (hp // tr, wp // tc)
 
     g = len(geoms)
     if step_budgets is None:
@@ -376,10 +391,15 @@ def render_frame_tiles(
         smem((aabbs.shape[0], 6)), smem((3, 4)), smem((m, 8)),
         smem((4, 4)), smem((8, 4)),
     ]
-    tile_spec = pl.BlockSpec((tr, tc), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM)
-    out4 = [jax.ShapeDtypeStruct((hp, wp), f32) for _ in range(4)]
-    scratch = [
+    if tri_rows is not None:
+        smem_args = smem_args + (tri_rows.astype(f32),)
+        smem_specs = smem_specs + [smem(tuple(tri_rows.shape))]
+    return smem_args, smem_specs, tuple(step_budgets), tuple(clusters), int(m)
+
+
+def _frame_scratch(tr, tc):
+    f32 = jnp.float32
+    return [
         pltpu.VMEM((tr, tc), f32),   # thit
         pltpu.VMEM((tr, tc), f32),   # nx
         pltpu.VMEM((tr, tc), f32),   # ny
@@ -393,25 +413,279 @@ def render_frame_tiles(
         pltpu.VMEM((tr, tc), jnp.int32),
         pltpu.VMEM((tr, tc), f32),
     ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geoms", "clusters", "step_budgets", "cull_backface", "order",
+        "max_depth", "width", "height", "plane_gid", "interpret",
+        "budget_cap", "emit_dirty", "local_height", "tri_offsets",
+    ),
+)
+def render_frame_tiles(
+    b2l_rows,  # (G, 12) f32
+    l2b_rot,  # (G, 9) f32
+    step_scales,  # (G,) f32
+    aabbs,  # (G, 6) f32
+    mb_params,  # (3, 4) f32
+    materials,  # (M, 8) f32: albedo rgba, refl, diff, spec, spow
+    p2w,  # (4, 4) f32 row-vector projection_to_world
+    cvec,  # (8, 4) f32: cam, light, amb, ldiff, blas_offset, plane_o, plane_s
+    tri_rows=None,  # (F, 12) f32 mesh face rows or None
+    *,
+    geoms: Tuple[Tuple[int, int], ...],
+    clusters: Tuple[Tuple[int, ...], ...] | None = None,
+    step_budgets: Tuple[int, ...] | None = None,
+    cull_backface: bool = True,
+    order: Tuple[int, ...] | None = None,
+    max_depth: int = 3,
+    width: int,
+    height: int,
+    plane_gid: int,
+    budget_cap: int | None = None,
+    emit_dirty: bool = False,
+    local_height: int | None = None,
+    tri_offsets: Tuple[Tuple[int, int], ...] | None = None,
+    interpret: bool = False,
+):
+    """Returns an (H, W, 4) f32 radiance image from ONE pallas_call.
+
+    budget_cap: cap every SDF step budget at this value (marches that cap
+    are flagged per-lane when emit_dirty — see render_frame_compact).
+    emit_dirty: additionally return the (H, W) int32 dirty plane.
+    local_height: under shard_map, the per-device band height (raygen uses
+    the GLOBAL width/height plus the cvec[7,0] row offset)."""
+    tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
+    lh = local_height if local_height is not None else height
+    hp = lh + (-lh) % tr
+    wp = width + (-width) % tc
+    grid = (hp // tr, wp // tc)
+
+    smem_args, smem_specs, step_budgets, clusters, m = _prepare_call(
+        materials, aabbs, step_scales, b2l_rows, l2b_rot, mb_params, p2w,
+        cvec, geoms, clusters, step_budgets, tri_rows,
+    )
+    tile_spec = pl.BlockSpec((tr, tc), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    # Under shard_map the outputs must declare their varying mesh axes;
+    # cvec carries the per-device row offset, so it is the varying input.
+    vma = getattr(jax.typeof(smem_args[7]), "vma", None)
+    vkw = {"vma": vma} if vma else {}
+    n_out = 5 if emit_dirty else 4
+    outs = [jax.ShapeDtypeStruct((hp, wp), f32, **vkw) for _ in range(4)]
+    if emit_dirty:
+        outs.append(jax.ShapeDtypeStruct((hp, wp), jnp.int32, **vkw))
     kernel = functools.partial(
-        _frame_kernel, tuple(geoms), tuple(clusters), tuple(step_budgets),
+        _frame_kernel, tuple(geoms), clusters, step_budgets,
         cull_backface, tuple(order) if order is not None else None,
         max_depth, width, height, plane_gid,
-        int(m),
+        m, budget_cap, emit_dirty, False,
+        tuple(tri_offsets) if tri_rows is not None else None,
     )
-    r, gc, b, a = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=smem_specs,
-        out_specs=[tile_spec] * 4,
-        out_shape=out4,
-        scratch_shapes=scratch,
+        out_specs=[tile_spec] * n_out,
+        out_shape=outs,
+        scratch_shapes=_frame_scratch(tr, tc),
         interpret=interpret,
     )(*smem_args)
-    return jnp.stack(
-        [r[:height, :width], gc[:height, :width], b[:height, :width],
-         a[:height, :width]], axis=-1,
+    r, gc, b, a = res[:4]
+    img = jnp.stack(
+        [r[:lh, :width], gc[:lh, :width], b[:lh, :width],
+         a[:lh, :width]], axis=-1,
     )
+    if emit_dirty:
+        return img, res[4][:lh, :width]
+    return img
+
+
+# Default SDF step-budget cap for the compacted two-round frame: pass 1
+# marches at most this many steps per (lane, geometry); capped lanes are
+# re-rendered end-to-end in dense queue tiles at full budget. Sweepable
+# via GPURT_COMPACT_BUDGET (profiling); metaball budgets are never capped
+# (their interval marches are bounded at 128 and cheap — DEVNOTES).
+COMPACT_BUDGET = 64
+# Dirty-queue capacity as a fraction denominator of the padded pixel count
+# (1/8 = 12.5%); overflow falls back to the uncompacted full-budget kernel.
+COMPACT_CAP_DIV = 8
+
+
+def compact_enabled() -> bool:
+    return not os.environ.get("GPURT_DISABLE_COMPACT")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geoms", "clusters", "step_budgets", "cull_backface", "order",
+        "max_depth", "width", "height", "plane_gid", "interpret",
+        "budget_cap", "cap_lanes", "debug_count", "local_height",
+        "tri_offsets",
+    ),
+)
+def render_frame_compact(
+    b2l_rows, l2b_rot, step_scales, aabbs, mb_params, materials, p2w, cvec,
+    tri_rows=None,
+    *,
+    geoms: Tuple[Tuple[int, int], ...],
+    clusters: Tuple[Tuple[int, ...], ...] | None = None,
+    step_budgets: Tuple[int, ...] | None = None,
+    cull_backface: bool = True,
+    order: Tuple[int, ...] | None = None,
+    max_depth: int = 3,
+    width: int,
+    height: int,
+    plane_gid: int,
+    budget_cap: int | None = None,
+    cap_lanes: int | None = None,
+    debug_count: bool = False,
+    local_height: int | None = None,
+    tri_offsets: Tuple[Tuple[int, int], ...] | None = None,
+    interpret: bool = False,
+):
+    """Two-round compacted frame — ray compaction for the march convoy.
+
+    Round 1 runs the fused frame kernel with every SDF march capped at
+    `budget_cap` steps and tracks, per lane, whether ANY march (any level,
+    closest or occlusion) hit the cap. Round 2 extracts the dirty lanes'
+    raster indices (coherent by construction — silhouette/crawl pixels
+    cluster by object in raster order), recomputes those pixels end-to-end
+    at the full reference budgets in dense (8, 256) queue tiles, and
+    scatters the colors back.
+
+    Bit-identical to the full-budget kernel: a march that resolves within
+    the cap is a strict prefix of the full march (the round-2 two-phase
+    argument, tests/test_scene_kernel.py::test_two_phase_bit_identical),
+    and every lane with a capped march is recomputed from raygen with
+    nothing reused. If the dirty count overflows the queue capacity the
+    whole frame falls back to the uncompacted kernel (lax.cond) — never
+    wrong, only slower.
+
+    This is the TPU-native replacement for the reference's free SIMT
+    per-thread loop exit (SignedDistancePrimitives.hlsli:291-317): tiles
+    march to their slowest lane, so one 512-step crawl lane otherwise
+    holds 2048 lanes hostage; here it costs 64 steps in round 1 plus one
+    densely-packed queue slot in round 2.
+    """
+    tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
+    lh = local_height if local_height is not None else height
+    hp = lh + (-lh) % tr
+    wp = width + (-width) % tc
+    grid = (hp // tr, wp // tc)
+    if budget_cap is None:
+        budget_cap = int(os.environ.get("GPURT_COMPACT_BUDGET", COMPACT_BUDGET))
+
+    smem_args, smem_specs, step_budgets, clusters, m = _prepare_call(
+        materials, aabbs, step_scales, b2l_rows, l2b_rot, mb_params, p2w,
+        cvec, geoms, clusters, step_budgets, tri_rows,
+    )
+    tile_spec = pl.BlockSpec((tr, tc), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    vma = getattr(jax.typeof(smem_args[7]), "vma", None)
+    vkw = {"vma": vma} if vma else {}
+
+    def call_main():
+        kernel = functools.partial(
+            _frame_kernel, tuple(geoms), clusters, step_budgets,
+            cull_backface, tuple(order) if order is not None else None,
+            max_depth, width, height, plane_gid, m,
+            budget_cap, True, False,
+            tuple(tri_offsets) if tri_rows is not None else None,
+        )
+        outs = [jax.ShapeDtypeStruct((hp, wp), f32, **vkw) for _ in range(4)]
+        outs.append(jax.ShapeDtypeStruct((hp, wp), jnp.int32, **vkw))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=smem_specs,
+            out_specs=[tile_spec] * 5,
+            out_shape=outs,
+            scratch_shapes=_frame_scratch(tr, tc),
+            interpret=interpret,
+        )(*smem_args)
+
+    r0, g0, b0, a0, dirty = call_main()
+
+    lanes = hp * wp
+    cap = cap_lanes
+    if cap is None:
+        cap = max(tr * tc, lanes // COMPACT_CAP_DIV)
+    cap = cap + (-cap) % (tr * tc)
+    cap = min(cap, lanes + (-lanes) % (tr * tc))
+
+    dirty_flat = dirty.reshape(-1) != 0
+    count = jnp.sum(dirty_flat.astype(jnp.int32))
+    (idx,) = jnp.nonzero(dirty_flat, size=cap, fill_value=-1)
+    idx = idx.astype(jnp.int32)
+    valid = idx >= 0
+    # Queue indices are in LOCAL padded raster space; the dense kernel
+    # raygens from GLOBAL pixel coordinates, so bands add their offset.
+    row_off = smem_args[7][7, 0].astype(jnp.int32)
+    qpy = jnp.where(valid, idx // wp + row_off, -1).reshape(cap // tc, tc)
+    qpx = jnp.where(valid, idx % wp, -1).reshape(cap // tc, tc)
+
+    def call_dense():
+        rows = cap // tc
+        kernel = functools.partial(
+            _frame_kernel, tuple(geoms), clusters, step_budgets,
+            cull_backface, tuple(order) if order is not None else None,
+            max_depth, width, height, plane_gid, m,
+            None, False, True,
+            tuple(tri_offsets) if tri_rows is not None else None,
+        )
+        outs = [jax.ShapeDtypeStruct((rows, tc), f32, **vkw) for _ in range(4)]
+        return pl.pallas_call(
+            kernel,
+            grid=(rows // tr, 1),
+            in_specs=smem_specs + [tile_spec, tile_spec],
+            out_specs=[tile_spec] * 4,
+            out_shape=outs,
+            scratch_shapes=_frame_scratch(tr, tc),
+            interpret=interpret,
+        )(*smem_args, qpx, qpy)
+
+    rd, gd, bd, ad = call_dense()
+
+    def patched(_):
+        def patch(plane, dense_plane):
+            return plane.reshape(-1).at[idx].set(
+                dense_plane.reshape(-1), mode="drop"
+            ).reshape(hp, wp)
+
+        return (patch(r0, rd), patch(g0, gd), patch(b0, bd), patch(a0, ad))
+
+    def fallback(_):
+        kernel = functools.partial(
+            _frame_kernel, tuple(geoms), clusters, step_budgets,
+            cull_backface, tuple(order) if order is not None else None,
+            max_depth, width, height, plane_gid, m,
+            None, False, False,
+            tuple(tri_offsets) if tri_rows is not None else None,
+        )
+        outs = [jax.ShapeDtypeStruct((hp, wp), f32, **vkw) for _ in range(4)]
+        return tuple(pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=smem_specs,
+            out_specs=[tile_spec] * 4,
+            out_shape=outs,
+            scratch_shapes=_frame_scratch(tr, tc),
+            interpret=interpret,
+        )(*smem_args))
+
+    r, gc, b, a = jax.lax.cond(count <= cap, patched, fallback, None)
+    img = jnp.stack(
+        [r[:lh, :width], gc[:lh, :width], b[:lh, :width],
+         a[:lh, :width]], axis=-1,
+    )
+    if debug_count:
+        return img, count
+    return img
 
 
 def pack_frame_params(scene, aspect_unused=None):
@@ -453,35 +727,60 @@ def pack_frame_params(scene, aspect_unused=None):
     geoms = tuple(
         (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
     )
+    from gpuraytracer_tpu.accel.traverse import pack_tri_rows
+
+    tri_rows, tri_offsets = pack_tri_rows(arrays)
+    args = (b2l_rows, l2b_rot, step_scales, aabbs, mb_params, materials,
+            p2w, cvec)
+    if tri_rows is not None:
+        args = args + (tri_rows,)
     return (
-        (b2l_rows, l2b_rot, step_scales, aabbs, mb_params, materials, p2w, cvec),
+        args,
         dict(
             geoms=geoms,
             clusters=layout.clusters,
             step_budgets=layout.step_budgets,
             order=layout.traversal_order,
             plane_gid=int(layout.plane_geometry_id),
+            tri_offsets=tri_offsets,
         ),
     )
 
 
-def fused_eligible(scene, origins_ndim: int = 3) -> bool:
-    """The fused kernel covers the pass-based TPU path's domain: 2-D pixel
-    wavefronts, plane present, every geometry a supported procedural kind,
-    small material table (select chains)."""
+def fused_eligible_layout(layout, num_materials: int | None = None,
+                          total_mesh_faces: int = 0) -> bool:
+    """Layout-level fused-kernel eligibility (no arrays needed — the
+    sharded renderer probes this before tracing)."""
+    from gpuraytracer_tpu.accel.traverse import TRI_FACE_CAP
     from gpuraytracer_tpu.kernels import megakernel
 
     supported = (
         IntersectorKind.ANALYTIC,
         IntersectorKind.VOLUMETRIC,
         IntersectorKind.SIGNED_DISTANCE,
+        IntersectorKind.TRIANGLE,
     )
-    layout = scene.layout
+    if num_materials is None:
+        num_materials = len(layout.kinds) + (1 if layout.has_plane else 0)
     return (
         megakernel.pallas_available()
         and not os.environ.get("GPURT_DISABLE_FUSED")
         and layout.has_plane
         and layout.num_procedural > 0
         and all(k in supported for k in layout.kinds)
-        and scene.arrays.materials.albedo.shape[0] <= 16
+        and num_materials <= 16
+        and total_mesh_faces <= TRI_FACE_CAP
+    )
+
+
+def fused_eligible(scene, origins_ndim: int = 3) -> bool:
+    """The fused kernel covers the pass-based TPU path's domain: 2-D pixel
+    wavefronts, plane present, every geometry a supported procedural kind
+    (incl. small triangle meshes — SMEM Möller–Trumbore), small material
+    table (select chains)."""
+    from gpuraytracer_tpu.accel.traverse import _total_mesh_faces
+
+    return fused_eligible_layout(
+        scene.layout, scene.arrays.materials.albedo.shape[0],
+        _total_mesh_faces(scene),
     )

@@ -42,6 +42,7 @@ def _tile_march_kernel(
     cull_backface: bool,
     max_steps: int,
     unroll: int,
+    escape_bound: bool,
     # refs:
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
@@ -68,7 +69,7 @@ def _tile_march_kernel(
     _, t_hit, _ = _march_sdf(
         distance_fn, o, d, gate, t_max, step_scale, tuple(march_scratch),
         unroll=unroll, max_steps=max_steps, cull_backface=cull_backface,
-        t_start=t_start,
+        t_start=t_start, escape_bound=escape_bound,
     )
 
     hit = t_hit < inf
@@ -133,8 +134,11 @@ def sphere_trace_tiles(
     )
     scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
 
+    from gpuraytracer_tpu.geometry import sdf as sdf_mod
+
     kernel = functools.partial(
-        _tile_march_kernel, distance_fn, cull_backface, max_steps, unroll
+        _tile_march_kernel, distance_fn, cull_backface, max_steps, unroll,
+        int(prim_code) in sdf_mod.ESCAPE_SAFE_CODES,
     )
     vma = getattr(jax.typeof(planes[0]), "vma", None)
     kw = {"vma": vma} if vma else {}

@@ -111,16 +111,18 @@ def _march_split(part_fn, o, d, gate, t_max, scratch, n, t_start=None):
 
 def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
                unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True,
-               t_start=None):
+               t_start=None, escape_bound=True):
     n = MARCH_HALVES
     if n <= 1 or gate.shape[-1] % (n * 128) != 0:
         return _march_sdf_part(distance_fn, o, d, gate, t_max, step_scale,
                                scratch, unroll=unroll, max_steps=max_steps,
-                               cull_backface=cull_backface, t_start=t_start)
+                               cull_backface=cull_backface, t_start=t_start,
+                               escape_bound=escape_bound)
     return _march_split(
         lambda oo, dd, g, tm, sc, ts: _march_sdf_part(
             distance_fn, oo, dd, g, tm, step_scale, sc, unroll=unroll,
             max_steps=max_steps, cull_backface=cull_backface, t_start=ts,
+            escape_bound=escape_bound,
         ),
         o, d, gate, t_max, scratch, n, t_start=t_start,
     )
@@ -158,7 +160,7 @@ def _normal_at(distance_fn, p: V3) -> V3:
 
 def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
                     unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True,
-                    t_start=None):
+                    t_start=None, escape_bound=True):
     """Pause/check sphere trace over one tile (or sub-tile column block;
     see _march_sdf), march state in VMEM scratch
     refs. Bit-identical to the reference march semantics
@@ -181,9 +183,14 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
     # Result-identical retirement bound: no crossing can exist past
     # (|o| + R) / (|d| - alpha*threshold) — see geometry/sdf.march_escape_t.
     # Sky/occlusion lanes with RayTCurrent 10000 stop ~100x sooner.
+    # Applied only to envelope-verified codes (sdf.ESCAPE_SAFE_CODES);
+    # extension primitives rely on their AABB window (t_max) instead.
     from gpuraytracer_tpu.geometry.sdf import march_escape_t
 
-    t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
+    if escape_bound:
+        t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
+    else:
+        t_escape = t_max
 
     # t_start: optional per-lane march start (0 = the reference's RayTMin
     # semantics; extension AABB-windowed primitives start at slab entry).
@@ -307,9 +314,13 @@ def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None
     # segment [tmin, tmax_u] is maximized at its closest approach t*
     # clamped to the segment; the sum of those maxima bounds the total
     # potential at EVERY sample. Below the iso threshold no march step
-    # can cross — miss without marching, result-identical. About half of
+    # can cross — miss without marching. About half of
     # bounding-sphere-crossing lanes bound out (iso 0.25 is reached only
-    # within ~0.68 of a ball radius).
+    # within ~0.68 of a ball radius). The epsilon absorbs float32 rounding
+    # in the 3-term potential sum: a lane whose true maximum sits within
+    # rounding error of the threshold marches rather than being culled
+    # (the real-analysis bound is exact; the float evaluation of it is
+    # not, so the margin keeps the cull strictly conservative).
     dd = d.dot(d)
     bound = zero
     for cx, cy, cz, r in balls:
@@ -319,7 +330,7 @@ def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None
         p_star = V3(o.x + t_star * d.x, o.y + t_star * d.y,
                     o.z + t_star * d.z)
         bound = bound + soa.metaball_potential_soa(p_star, cx, cy, cz, r)
-    live = live & (bound >= METABALL_ISO_THRESHOLD)
+    live = live & (bound >= METABALL_ISO_THRESHOLD - 1e-5)
 
     t_ref[:] = tmin
     steps_ref[:] = izero
@@ -381,7 +392,7 @@ def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None
 
 def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
                       unroll=8, max_steps=SDF_MAX_STEPS, cull_backface=True,
-                      t_start=None):
+                      t_start=None, escape_bound=True):
     """Direct transcription of RaySignedDistancePrimitiveTest
     (SignedDistancePrimitives.hlsli:287-319): the validity check (4-eval
     tetrahedral normal + cull + range) runs INLINE at every step, so
@@ -394,7 +405,10 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
     izero = zero.astype(jnp.int32)
     from gpuraytracer_tpu.geometry.sdf import march_escape_t
 
-    t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
+    if escape_bound:
+        t_escape = jnp.minimum(t_max, march_escape_t(o.length(), d.length()))
+    else:
+        t_escape = t_max
     t0 = zero if t_start is None else zero + t_start
     state0 = (t0, izero, jnp.where(gate, izero, izero + 1), zero + inf)
 
@@ -567,10 +581,13 @@ def _finish_tile(
                 else:
                     t_lo = None
                     t_hi = best_t
+                from gpuraytracer_tpu.geometry import sdf as sdf_mod
+
                 hit, t = _march_sdf_inline(
                     soa.DISTANCE_FUNCTIONS_SOA[int(code)], o_loc, d_loc, gate,
                     t_hi, sscale_ref[g, 0], cull_backface=cull_g,
                     max_steps=step_budgets[g], t_start=t_lo,
+                    escape_bound=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
                 )
             else:
                 balls = tuple(
@@ -640,15 +657,20 @@ def _scene_kernel(
     accept_first: bool,
     order: Tuple[int, ...] | None,
     phase: str,  # "single" | "main" | "finish" (two-phase dirty-tile scheme)
+    tri_offsets: Tuple[Tuple[int, int], ...] | None,
     # refs — layout depends on phase:
-    #   single: 8 ray planes, 5 SMEM tables, 5 outputs
-    #   main:   8 ray planes, 5 SMEM tables, 5 outputs + dirty plane output
-    #   finish: 8 ray planes, 5 SMEM tables, dirty + 5 pass-1 planes, 5 outs
+    #   single: 8 ray planes, 5 SMEM tables [+ tri SMEM], 5 outputs
+    #   main:   8 ray planes, 5 SMEM tables [+ tri], 5 outputs + dirty out
+    #   finish: 8 ray planes, 5 SMEM tables [+ tri], dirty + 5 pass-1
+    #           planes, 5 outs
     *refs,
 ):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      active_ref, t0_ref, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
      *rest) = refs
+    tri_ref = None
+    if tri_offsets is not None:
+        tri_ref, *rest = rest
     # March-state scratch (see _march_sdf) is the trailing 6 refs of every
     # phase layout.
     march_scratch = tuple(rest[-6:])
@@ -699,15 +721,62 @@ def _scene_kernel(
         geoms, clusters, step_budgets, cull_backface, accept_first, phase,
         o, d, active, t0_ref[:], b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
         thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
-        order=order,
+        order=order, tri_ref=tri_ref, tri_offsets=tri_offsets,
     )
+
+
+def _intersect_trimesh_tile(o: V3, d: V3, t_max, tri_ref, start, count,
+                            cull_backface):
+    """Unrolled Möller–Trumbore over `count` SMEM face rows (v0, e1, e2, n
+    — geometry/trimesh.py layout) for one tile. The triangle-BLAS analog
+    for small meshes (the reference's ground quad is 2 faces,
+    Renderer.cpp:575-592; closest-hit Raytracing.hlsl:171-218): faces ride
+    SMEM scalars, intersection is branchless dense vector math, the flat
+    shading normal comes from the winning face's SMEM row."""
+    inf = jnp.float32(jnp.inf)
+    zero = o.x * 0.0
+    best_t = zero + inf
+    nx = zero
+    ny = zero
+    nz = zero
+    for f in range(start, start + count):
+        v0x, v0y, v0z = tri_ref[f, 0], tri_ref[f, 1], tri_ref[f, 2]
+        e1x, e1y, e1z = tri_ref[f, 3], tri_ref[f, 4], tri_ref[f, 5]
+        e2x, e2y, e2z = tri_ref[f, 6], tri_ref[f, 7], tri_ref[f, 8]
+        # pv = d x e2
+        pvx = d.y * e2z - d.z * e2y
+        pvy = d.z * e2x - d.x * e2z
+        pvz = d.x * e2y - d.y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        # det > 0 is the DXR back-face cull branch (trimesh._mt_face).
+        det_ok = (det > 1e-12) if cull_backface else (jnp.abs(det) > 1e-12)
+        inv = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        # qv = tv x e1
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (d.x * qvx + d.y * qvy + d.z * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        hit = (
+            det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= 0.0) & (t <= t_max)
+        )
+        closer = hit & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        nx = jnp.where(closer, zero + tri_ref[f, 9], nx)
+        ny = jnp.where(closer, zero + tri_ref[f, 10], ny)
+        nz = jnp.where(closer, zero + tri_ref[f, 11], nz)
+    return best_t < inf, best_t, V3(nx, ny, nz)
 
 
 def _traverse_tile(
     geoms, clusters, step_budgets, cull_backface, accept_first, phase,
     o, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
     thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
-    order=None,
+    order=None, budget_cap=None, mb_budget_cap=None,
+    tri_ref=None, tri_offsets=None,
 ):
     # Closest-hit state lives in the OUTPUT refs so each geometry's entire
     # body (local transform + intersector + reduction) can sit under a
@@ -782,6 +851,8 @@ def _traverse_tile(
                 budget = step_budgets[g]
                 if phase == "main":
                     budget = min(PHASE_BUDGET, budget)
+                elif budget_cap is not None:
+                    budget = min(budget_cap, budget)
                 if int(code) >= 7:
                     # Extension DE fractals are DEFINED clipped to their
                     # AABB: the march window is [max(entry, 0),
@@ -794,20 +865,23 @@ def _traverse_tile(
                 else:
                     t_lo = None
                     t_hi = best_t
+                from gpuraytracer_tpu.geometry import sdf as sdf_mod
+
+                esc = int(code) in sdf_mod.ESCAPE_SAFE_CODES
                 if accept_first and SHADOW_INLINE:
                     hit, t = _march_sdf_inline(
                         distance_fn, o_loc, d_loc, gate, t_hi,
                         sscale_ref[g, 0], cull_backface=cull_g,
-                        max_steps=budget, t_start=t_lo,
+                        max_steps=budget, t_start=t_lo, escape_bound=esc,
                     )
                     capped = hit & False
                 else:
                     hit, t, capped = _march_sdf(
                         distance_fn, o_loc, d_loc, gate, t_hi,
                         sscale_ref[g, 0], march_scratch, cull_backface=cull_g,
-                        max_steps=budget, t_start=t_lo,
+                        max_steps=budget, t_start=t_lo, escape_bound=esc,
                     )
-                if phase == "main" and budget < step_budgets[g]:
+                if dirty_ref is not None and budget < step_budgets[g]:
                     dirty_ref[:] = dirty_ref[:] | (
                         capped.astype(jnp.int32) << _dirty_bit(g)
                     )
@@ -820,15 +894,24 @@ def _traverse_tile(
                 budget = METABALL_MAX_STEPS
                 if phase == "main":
                     budget = min(PHASE_BUDGET, budget)
+                elif mb_budget_cap is not None:
+                    budget = min(mb_budget_cap, budget)
                 hit, t, capped = _march_metaballs(
                     o_loc, d_loc, gate, best_t, balls, march_scratch,
                     max_steps=budget, step_div=METABALL_MAX_STEPS,
                 )
-                if phase == "main" and budget < METABALL_MAX_STEPS:
+                if dirty_ref is not None and budget < METABALL_MAX_STEPS:
                     dirty_ref[:] = dirty_ref[:] | (
                         capped.astype(jnp.int32) << _dirty_bit(g)
                     )
                 n_world = None
+            elif kind == int(IntersectorKind.TRIANGLE):
+                start, count = tri_offsets[int(code)]
+                hit, t, n_loc = _intersect_trimesh_tile(
+                    o_loc, d_loc, best_t, tri_ref, start, count,
+                    cull_backface,
+                )
+                n_world = world_normal(n_loc)
             elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.AABB):
                 hit, t, n_loc = soa.intersect_hollow_aabb(
                     o_loc, d_loc, 0.0, best_t, cull_backface
@@ -964,7 +1047,7 @@ def _traverse_tile(
             pl.when(jnp.any(won))(epilogue)
 
 
-@functools.partial(jax.jit, static_argnames=("geoms", "clusters", "step_budgets", "cull_backface", "accept_first", "order", "two_phase", "debug_dirty", "interpret"))
+@functools.partial(jax.jit, static_argnames=("geoms", "clusters", "step_budgets", "cull_backface", "accept_first", "order", "two_phase", "debug_dirty", "interpret", "tri_offsets"))
 def scene_closest_tiles(
     o_blas,  # (H, W, 3)
     d_blas,  # (H, W, 3)
@@ -975,6 +1058,7 @@ def scene_closest_tiles(
     step_scales,  # (G,) f32
     aabbs,  # (G, 6) f32
     mb_params,  # (3, 4) f32 (centers + radii; zeros if unused)
+    tri_rows=None,  # (F, 12) f32 mesh face rows (v0, e1, e2, n) or None
     *,
     geoms: Tuple[Tuple[int, int], ...],
     clusters: Tuple[Tuple[int, ...], ...] | None = None,
@@ -985,6 +1069,7 @@ def scene_closest_tiles(
     two_phase: bool = False,
     debug_dirty: bool = False,
     interpret: bool = False,
+    tri_offsets: Tuple[Tuple[int, int], ...] | None = None,  # per mesh slot
 ):
     """Returns (best_t, normal (H,W,3), geom_id (H,W) int32; -1 where no
     procedural hit beat t0). With accept_first (occlusion queries) only
@@ -1060,6 +1145,10 @@ def scene_closest_tiles(
         smem((g, 12)), smem((g, 9)), smem((g, 1)),
         smem((aabbs.shape[0], 6)), smem((3, 4)),
     ]
+    if tri_rows is not None:
+        assert tri_offsets is not None
+        smem_args = smem_args + (tri_rows.astype(f32),)
+        smem_specs = smem_specs + [smem(tuple(tri_rows.shape))]
     out5 = [
         jax.ShapeDtypeStruct((hp, wp), f32, **kw),
         jax.ShapeDtypeStruct((hp, wp), f32, **kw),
@@ -1073,6 +1162,7 @@ def scene_closest_tiles(
             _scene_kernel, tuple(geoms), tuple(clusters), tuple(step_budgets),
             cull_backface, accept_first,
             tuple(order) if order is not None else None, phase,
+            tuple(tri_offsets) if tri_rows is not None else None,
         )
 
     # March-state scratch (t, steps, done, paused, resume, t_hit) — see

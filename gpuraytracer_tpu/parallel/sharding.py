@@ -26,14 +26,16 @@ from gpuraytracer_tpu.render.trace import trace_radiance
 try:  # jax >= 0.4.35 exposes shard_map at top level
     from jax import shard_map as _shard_map_fn
 
-    def shard_map(f, *, mesh, in_specs, out_specs):
-        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
+        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_vma)
 
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map_fn
 
-    def shard_map(f, *, mesh, in_specs, out_specs):
-        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
+        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_vma)
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "x") -> Mesh:
@@ -52,6 +54,8 @@ def make_sharded_renderer(
     axis_name: str = "x",
     max_depth: int = 3,
     compute_stats: bool = False,
+    use_fused: bool | None = None,
+    interpret: bool = False,
 ):
     """jit-compiled multi-chip frame function.
 
@@ -59,10 +63,44 @@ def make_sharded_renderer(
     by the mesh size (pad upstream if needed). Returns image (H, W, 4) laid
     out row-sharded across the mesh; with compute_stats also returns the
     mean radiance (psum over ICI — the cross-chip metrics reduction).
+
+    use_fused: None routes through the fused frame megakernel exactly when
+    the single-chip path would (kernels/frame_kernel.fused_eligible);
+    True/False forces it (True + interpret=True exercises the Pallas
+    kernels under shard_map on the CPU backend — tests/test_sharding.py).
+    Each device runs the SAME fused kernel on its band: cvec[7,0] carries
+    the band's global row offset into the in-kernel raygen, so the fused
+    fast path — including the compacted two-round form — is the multi-chip
+    path, not a single-chip special case.
     """
+    from gpuraytracer_tpu.kernels import frame_kernel
+
     n = mesh.devices.size
     if height % n != 0:
         raise ValueError(f"height {height} not divisible by mesh size {n}")
+    local_h = height // n
+
+    def tile_fused(px, py, arrays):
+        scene = Scene(layout, arrays)
+        smem_args, kw = frame_kernel.pack_frame_params(scene)
+        row_off = (jax.lax.axis_index(axis_name) * local_h).astype(jnp.float32)
+        cvec = smem_args[7].at[7, 0].set(row_off)  # cvec is arg 7 (tri may follow)
+        smem_args = smem_args[:7] + (cvec,) + smem_args[8:]
+        render_fn = (
+            frame_kernel.render_frame_compact
+            if frame_kernel.compact_enabled()
+            else frame_kernel.render_frame_tiles
+        )
+        color = render_fn(
+            *smem_args, width=width, height=height, max_depth=max_depth,
+            cull_backface=True, local_height=local_h, interpret=interpret,
+            **kw,
+        )
+        if compute_stats:
+            local_sum = jnp.sum(color[..., :3])
+            total = jax.lax.psum(local_sum, axis_name)
+            return color, total / (width * height * 3)
+        return color
 
     def tile(px, py, arrays):
         scene = Scene(layout, arrays)
@@ -81,11 +119,21 @@ def make_sharded_renderer(
             return color, total / (width * height * 3)
         return color
 
+    fused = use_fused
+    if fused is None:
+        fused = frame_kernel.fused_eligible_layout(layout)
+
+    # interpret-mode Pallas does not propagate varying-manual-axes into the
+    # kernel jaxpr (a jax hlo_interpreter limitation: even `ref[:] * 2.0`
+    # fails the vma check), so interpret runs — the CPU validation mode —
+    # relax the check. Real-TPU (Mosaic) runs keep strict vma: the kernels
+    # declare their varying outputs (frame_kernel/scene_kernel vkw).
     sharded = shard_map(
-        tile,
+        tile_fused if fused else tile,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None), P()),
         out_specs=(P(axis_name, None, None), P()) if compute_stats else P(axis_name, None, None),
+        check_vma=not (fused and interpret),
     )
 
     px, py = cam.pixel_grid(width, height)

@@ -211,6 +211,13 @@ def render_frame(scene: Scene, width: int, height: int, *, max_depth: int = MAX_
 
     if frame_kernel.fused_eligible(scene):
         smem_args, kw = frame_kernel.pack_frame_params(scene)
+        if frame_kernel.compact_enabled():
+            # Two-round compacted frame: budget-capped marches + dense
+            # dirty-lane requeue (bit-identical; see render_frame_compact).
+            return frame_kernel.render_frame_compact(
+                *smem_args, width=width, height=height, max_depth=max_depth,
+                cull_backface=True, **kw,
+            )
         return frame_kernel.render_frame_tiles(
             *smem_args, width=width, height=height, max_depth=max_depth,
             cull_backface=True, **kw,

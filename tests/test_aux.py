@@ -105,6 +105,84 @@ class TestRecovery:
         with pytest.raises(DeviceLostError):
             ex(jnp.float32(1.0))
 
+    def test_recovers_plugin_runtime_error(self):
+        # The PJRT C-API plugin raises bare RuntimeError for tunnel/driver
+        # faults — must recover like a device loss.
+        builds = []
+
+        def make_step():
+            builds.append(1)
+            n = len(builds)
+
+            def step(x):
+                if n < 2:
+                    raise RuntimeError("plugin transport reset (injected)")
+                return x * 3
+
+            return step
+
+        ex = RecoveringExecutor(make_step, max_retries=2, retry_delay_seconds=0.0)
+        assert float(ex(jnp.float32(2.0))) == 6.0
+        assert ex.recoveries == 1
+
+    def test_recovers_connection_error(self):
+        builds = []
+
+        def make_step():
+            builds.append(1)
+            n = len(builds)
+
+            def step(x):
+                if n < 2:
+                    raise ConnectionResetError("tunnel socket reset (injected)")
+                return x + 5
+
+            return step
+
+        ex = RecoveringExecutor(make_step, max_retries=2, retry_delay_seconds=0.0)
+        assert float(ex(jnp.float32(1.0))) == 6.0
+        assert ex.recoveries == 1
+
+    def test_programming_bugs_stay_fatal(self):
+        def make_step():
+            def step(x):
+                raise ValueError("shape mismatch (a bug, not device loss)")
+
+            return step
+
+        ex = RecoveringExecutor(make_step, max_retries=3, retry_delay_seconds=0.0)
+        with pytest.raises(ValueError):
+            ex(jnp.float32(1.0))
+        assert ex.recoveries == 0
+
+    def test_watchdog_times_out_wedged_step(self):
+        # The wedged-tunnel signature: the step blocks forever at ~0% CPU.
+        import threading
+
+        builds = []
+        release = threading.Event()
+
+        def make_step():
+            builds.append(1)
+            n = len(builds)
+
+            def step(x):
+                if n < 2:
+                    release.wait(timeout=30.0)  # wedge (until abandoned)
+                return x * 7
+
+            return step
+
+        ex = RecoveringExecutor(
+            make_step, max_retries=2, retry_delay_seconds=0.0,
+            watchdog_seconds=0.2,
+        )
+        try:
+            assert float(ex(jnp.float32(1.0))) == 7.0
+            assert ex.recoveries == 1
+        finally:
+            release.set()  # let the abandoned worker exit
+
 
 class TestExtendedFractals:
     def test_mandelbulb_signs(self):

@@ -28,6 +28,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PCT_BAR = 89.0
 INTERIOR_BAR = 95.0
 
+# The pure-XLA TPU path (meshes/no-plane/large-table scenes) diverges
+# further from the CPU reference than the Pallas path (TPU-XLA fuses the
+# whole wavefront program differently; measured 79.9%/91.9% in
+# PARITY_r02.json). Pinned so the fallback path cannot drift silently —
+# ADVICE round-2 item 1.
+XLA_PCT_BAR = 78.0
+XLA_INTERIOR_BAR = 90.0
+
 
 def _latest_parity_artifact():
     paths = sorted(glob.glob(os.path.join(REPO, "PARITY*.json")))
@@ -47,6 +55,10 @@ def test_parity_artifact_meets_bars():
     assert p["interior_pct_1e3"] >= INTERIOR_BAR, p
     # The artifact must cover a real resolution, not a thumbnail.
     assert results["width"] * results["height"] >= 320 * 180
+    if "xla" in results:
+        x = results["xla"]
+        assert x["pct_within_1e3"] >= XLA_PCT_BAR, x
+        assert x["interior_pct_1e3"] >= XLA_INTERIOR_BAR, x
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",

@@ -225,3 +225,77 @@ def test_mesh_occludes_shadow(mesh_scene):
     d = jnp.asarray([[0.0, 1.0, 0.0]], dtype=jnp.float32)
     occ = traverse.any_hit(o, d, scene)
     assert bool(occ[0])
+
+
+# ---------------------------------------------------------------------------
+# Triangle meshes on the Pallas scene-kernel path (VERDICT round-2 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_scene_kernel_matches_xla(mesh_scene):
+    """The SMEM Möller–Trumbore branch of the Pallas scene kernel must
+    agree with the XLA trimesh path over a pixel wavefront (interpret
+    mode; both run the same face rows, so hits are bit-comparable)."""
+    from gpuraytracer_tpu.accel.traverse import pack_tri_rows, ray_to_blas
+    from gpuraytracer_tpu.core import camera as cam
+    from gpuraytracer_tpu.kernels import scene_kernel
+
+    scene = mesh_scene
+    W = H = 48
+    px, py = cam.pixel_grid(W, H)
+    o, d = cam.generate_camera_rays(
+        px, py, W, H,
+        scene.arrays.constants.camera_position,
+        scene.arrays.constants.projection_to_world,
+    )
+    o_b, d_b = ray_to_blas(o, d, scene.arrays.blas_offset)
+    params = scene_kernel.pack_params(scene.arrays, 0.0)
+    tri_rows, tri_offsets = pack_tri_rows(scene.arrays)
+    layout = scene.layout
+    active = jnp.ones((H, W), bool)
+    t0 = jnp.full((H, W), 1e4, jnp.float32)
+    geoms = tuple(
+        (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
+    )
+    t_k, n_k, gid_k = scene_kernel.scene_closest_tiles(
+        o_b, d_b, active, t0, *params, tri_rows,
+        geoms=geoms, clusters=layout.clusters, order=layout.traversal_order,
+        tri_offsets=tri_offsets, interpret=True,
+    )
+    # XLA reference: per-instance dispatch through intersect_trimesh.
+    hit_ref = traverse.closest_hit(o, d, scene)
+    mesh_hit_ref = np.asarray(hit_ref.geometry_id) == 0
+    mesh_hit_k = np.asarray(gid_k) == 0
+    np.testing.assert_array_equal(mesh_hit_k, mesh_hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_k)[mesh_hit_k], np.asarray(hit_ref.t)[mesh_hit_ref],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(n_k)[mesh_hit_k],
+        np.asarray(hit_ref.normal)[mesh_hit_ref], atol=1e-6,
+    )
+
+
+def test_mesh_fused_frame_kernel(mesh_scene):
+    """A mesh scene renders through the FUSED frame kernel (interpret):
+    the mesh's red albedo must appear, matching the wavefront render to
+    the radiance budget."""
+    from gpuraytracer_tpu.kernels import frame_kernel
+    from gpuraytracer_tpu.render import trace
+
+    scene = mesh_scene
+    W = H = 48
+    ref = np.asarray(trace.render_frame(scene, W, H))
+    smem_args, kw = frame_kernel.pack_frame_params(scene)
+    img = np.asarray(
+        frame_kernel.render_frame_tiles(
+            *smem_args, width=W, height=H, max_depth=3,
+            cull_backface=True, interpret=True, **kw,
+        )
+    )
+    diff = np.abs(img - ref).max(axis=-1)
+    flipped = diff > 1e-3
+    assert flipped.mean() < 0.02, f"{flipped.sum()} pixels flipped"
+    red_dom = (img[..., 0] > img[..., 1] + 0.1) & (img[..., 0] > img[..., 2] + 0.1)
+    assert red_dom.any()
