@@ -158,7 +158,8 @@ def _frame_kernel(
     height: int,
     plane_gid: int,
     num_materials: int,
-    budget_cap: int | None,
+    budget_cap,  # None | (closest_cap, shadow_cap) — SDF march caps
+    mb_budget_cap,  # None | (closest_cap, shadow_cap) — metaball caps
     emit_dirty: bool,
     dense: bool,
     tri_offsets: Tuple[Tuple[int, int], ...] | None,
@@ -240,7 +241,9 @@ def _frame_kernel(
                 geoms, clusters, step_budgets, cull_backface, False, "single",
                 ob, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref,
                 mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s, dirty_ref,
-                tuple(march_scratch), order=order, budget_cap=budget_cap,
+                tuple(march_scratch), order=order,
+                budget_cap=budget_cap[0] if budget_cap else None,
+                mb_budget_cap=mb_budget_cap[0] if mb_budget_cap else None,
                 tri_ref=tri_ref, tri_offsets=tri_offsets,
             )
 
@@ -285,8 +288,9 @@ def _frame_kernel(
                 obs, sd, shadow_gate, t0s, b2l_ref, l2b_ref,
                 sscale_ref, aabb_ref, mb_ref, thit_s, nx_s, ny_s, nz_s,
                 gid_s, dirty_ref, tuple(march_scratch), order=order,
-                budget_cap=budget_cap, tri_ref=tri_ref,
-                tri_offsets=tri_offsets,
+                budget_cap=budget_cap[1] if budget_cap else None,
+                mb_budget_cap=mb_budget_cap[1] if mb_budget_cap else None,
+                tri_ref=tri_ref, tri_offsets=tri_offsets,
             )
 
         # Skipping is exact: when no lane needs the occlusion query, the
@@ -357,6 +361,15 @@ def _frame_kernel(
     a_ref[:] = state[14]
 
 
+def _norm_caps(cap):
+    """Normalize a march-cap spec: None | int | (closest, shadow)."""
+    if cap is None:
+        return None
+    if isinstance(cap, int):
+        return (cap, cap)
+    return tuple(cap)
+
+
 def _prepare_call(materials, aabbs, step_scales, b2l_rows, l2b_rot, mb_params,
                   p2w, cvec, geoms, clusters, step_budgets, tri_rows=None):
     """Shared SMEM packing for all frame-kernel call forms."""
@@ -420,7 +433,8 @@ def _frame_scratch(tr, tc):
     static_argnames=(
         "geoms", "clusters", "step_budgets", "cull_backface", "order",
         "max_depth", "width", "height", "plane_gid", "interpret",
-        "budget_cap", "emit_dirty", "local_height", "tri_offsets",
+        "budget_cap", "mb_budget_cap", "emit_dirty", "local_height",
+        "tri_offsets",
     ),
 )
 def render_frame_tiles(
@@ -443,7 +457,8 @@ def render_frame_tiles(
     width: int,
     height: int,
     plane_gid: int,
-    budget_cap: int | None = None,
+    budget_cap=None,
+    mb_budget_cap=None,
     emit_dirty: bool = False,
     local_height: int | None = None,
     tri_offsets: Tuple[Tuple[int, int], ...] | None = None,
@@ -481,7 +496,8 @@ def render_frame_tiles(
         _frame_kernel, tuple(geoms), clusters, step_budgets,
         cull_backface, tuple(order) if order is not None else None,
         max_depth, width, height, plane_gid,
-        m, budget_cap, emit_dirty, False,
+        m, _norm_caps(budget_cap), _norm_caps(mb_budget_cap), emit_dirty,
+        False,
         tuple(tri_offsets) if tri_rows is not None else None,
     )
     res = pl.pallas_call(
@@ -523,8 +539,8 @@ def compact_enabled() -> bool:
     static_argnames=(
         "geoms", "clusters", "step_budgets", "cull_backface", "order",
         "max_depth", "width", "height", "plane_gid", "interpret",
-        "budget_cap", "cap_lanes", "debug_count", "local_height",
-        "tri_offsets",
+        "budget_cap", "mb_budget_cap", "cap_lanes", "debug_count",
+        "local_height", "tri_offsets",
     ),
 )
 def render_frame_compact(
@@ -540,7 +556,8 @@ def render_frame_compact(
     width: int,
     height: int,
     plane_gid: int,
-    budget_cap: int | None = None,
+    budget_cap=None,
+    mb_budget_cap=None,
     cap_lanes: int | None = None,
     debug_count: bool = False,
     local_height: int | None = None,
@@ -571,6 +588,8 @@ def render_frame_compact(
     holds 2048 lanes hostage; here it costs 64 steps in round 1 plus one
     densely-packed queue slot in round 2.
     """
+    from gpuraytracer_tpu.core.types import METABALL_MAX_STEPS, SDF_MAX_STEPS
+
     tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
     lh = local_height if local_height is not None else height
     hp = lh + (-lh) % tr
@@ -578,6 +597,37 @@ def render_frame_compact(
     grid = (hp // tr, wp // tc)
     if budget_cap is None:
         budget_cap = int(os.environ.get("GPURT_COMPACT_BUDGET", COMPACT_BUDGET))
+
+    # Scenes where no march can cap (no SDF/metaball geometry, or caps at
+    # or above the full budgets) gain nothing from the two-round machinery
+    # — the dirty plane would be identically zero. Render plainly: one
+    # kernel instead of three (matters for compile time on e.g. the
+    # analytic-grid benchmark config as much as for runtime).
+    sb = step_budgets
+    if sb is None:
+        sb = (SDF_MAX_STEPS,) * len(geoms)
+    caps = _norm_caps(budget_cap)
+    mcaps = _norm_caps(mb_budget_cap)
+    cappable = any(
+        (k == int(IntersectorKind.SIGNED_DISTANCE)
+         and caps is not None and min(caps) < sb[i])
+        or (k == int(IntersectorKind.VOLUMETRIC)
+            and mcaps is not None and min(mcaps) < METABALL_MAX_STEPS)
+        for i, (k, _) in enumerate(geoms)
+    )
+    if not cappable:
+        img = render_frame_tiles(
+            b2l_rows, l2b_rot, step_scales, aabbs, mb_params, materials,
+            p2w, cvec, tri_rows,
+            geoms=geoms, clusters=clusters, step_budgets=step_budgets,
+            cull_backface=cull_backface, order=order, max_depth=max_depth,
+            width=width, height=height, plane_gid=plane_gid,
+            local_height=local_height, tri_offsets=tri_offsets,
+            interpret=interpret,
+        )
+        if debug_count:
+            return img, jnp.zeros((), jnp.int32)
+        return img
 
     smem_args, smem_specs, step_budgets, clusters, m = _prepare_call(
         materials, aabbs, step_scales, b2l_rows, l2b_rot, mb_params, p2w,
@@ -594,7 +644,7 @@ def render_frame_compact(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
             max_depth, width, height, plane_gid, m,
-            budget_cap, True, False,
+            _norm_caps(budget_cap), _norm_caps(mb_budget_cap), True, False,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
         outs = [jax.ShapeDtypeStruct((hp, wp), f32, **vkw) for _ in range(4)]
@@ -618,10 +668,23 @@ def render_frame_compact(
     cap = cap + (-cap) % (tr * tc)
     cap = min(cap, lanes + (-lanes) % (tr * tc))
 
-    dirty_flat = dirty.reshape(-1) != 0
+    dirty_codes = dirty.reshape(-1)
+    dirty_flat = dirty_codes != 0
     count = jnp.sum(dirty_flat.astype(jnp.int32))
     (idx,) = jnp.nonzero(dirty_flat, size=cap, fill_value=-1)
     idx = idx.astype(jnp.int32)
+    valid = idx >= 0
+    # Ray SORTING (the north-star's second half): group the queue by its
+    # per-geometry capped-march bitmask so a dense tile's full-budget
+    # marches concentrate on one cap-set. Unsorted raster order mixes
+    # pixels capped on different geometries into the same tile, and the
+    # tile then pays EVERY geometry's worst-lane 512-step convoy
+    # (measured 86 ms vs 57 plain at 1080p). The argsort runs on the
+    # compacted queue (cap entries), not the full image — O(cap log cap),
+    # stable, so raster coherence survives within each group.
+    codes = jnp.where(valid, dirty_codes[jnp.maximum(idx, 0)], jnp.int32(2**30))
+    sort_perm = jnp.argsort(codes, stable=True)
+    idx = idx[sort_perm]
     valid = idx >= 0
     # Queue indices are in LOCAL padded raster space; the dense kernel
     # raygens from GLOBAL pixel coordinates, so bands add their offset.
@@ -635,7 +698,7 @@ def render_frame_compact(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
             max_depth, width, height, plane_gid, m,
-            None, False, True,
+            None, None, False, True,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
         outs = [jax.ShapeDtypeStruct((rows, tc), f32, **vkw) for _ in range(4)]
@@ -664,7 +727,7 @@ def render_frame_compact(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
             max_depth, width, height, plane_gid, m,
-            None, False, False,
+            None, None, False, False,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
         outs = [jax.ShapeDtypeStruct((hp, wp), f32, **vkw) for _ in range(4)]

@@ -61,6 +61,36 @@ def test_compact_default_cap_identical(packed, full):
     np.testing.assert_array_equal(np.asarray(img), full)
 
 
+def test_compact_uncappable_scene_short_circuits():
+    """A scene with no cappable march (analytic only) must route straight
+    to the plain kernel — zero dirty machinery — and still be exact."""
+    import jax.numpy as jnp
+
+    from gpuraytracer_tpu.core.types import AnalyticPrimitive, IntersectorKind
+    from gpuraytracer_tpu.models.builder import InstanceSpec, Material, SceneBuilder
+
+    b = SceneBuilder()
+    b.add_instance(InstanceSpec(
+        kind=IntersectorKind.ANALYTIC,
+        prim_type=int(AnalyticPrimitive.SPHERES),
+        aabb_min=(-1.0, -1.0, -1.0), aabb_max=(1.0, 1.0, 1.0),
+        material=Material((0.2, 0.9, 0.2, 1.0)),
+    ))
+    scene2 = b.build(aspect=2.0, elapsed_time=0.0)
+    smem_args, kw = frame_kernel.pack_frame_params(scene2)
+    W2, H2 = 32, 16
+    full2 = np.asarray(frame_kernel.render_frame_tiles(
+        *smem_args, width=W2, height=H2, max_depth=2, cull_backface=True,
+        interpret=True, **kw,
+    ))
+    img, count = frame_kernel.render_frame_compact(
+        *smem_args, width=W2, height=H2, max_depth=2, cull_backface=True,
+        budget_cap=8, debug_count=True, interpret=True, **kw,
+    )
+    assert int(count) == 0
+    np.testing.assert_array_equal(np.asarray(img), full2)
+
+
 def test_compact_overflow_falls_back(scene):
     # Bigger frame so budget_cap=1 produces more dirty lanes than one tile
     # of queue capacity (at 64x36 every dirty lane fits in one tile).

@@ -28,7 +28,10 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--budget", type=int, default=0)
+    p.add_argument("--budget", type=str, default="",
+                   help="SDF march cap: N or CLOSEST,SHADOW")
+    p.add_argument("--mb-budget", type=str, default="",
+                   help="metaball march cap: N or CLOSEST,SHADOW")
     p.add_argument("--cap-div", type=int, default=0)
     p.add_argument("--counts", action="store_true")
     p.add_argument("--plain", action="store_true")
@@ -71,7 +74,15 @@ def main():
             ),
         )
     arrays = scene0.arrays
-    budget = args.budget or frame_kernel.COMPACT_BUDGET
+
+    def parse_cap(s):
+        if not s:
+            return None
+        parts = [int(x) for x in s.split(",")]
+        return parts[0] if len(parts) == 1 else tuple(parts)
+
+    budget = parse_cap(args.budget) or frame_kernel.COMPACT_BUDGET
+    mb_budget = parse_cap(args.mb_budget)
 
     def one_frame(a, t):
         ai = builtin.animate_arrays(a, t)
@@ -83,7 +94,8 @@ def main():
             )
         return frame_kernel.render_frame_compact(
             *smem_args, width=W, height=H, max_depth=3,
-            cull_backface=True, budget_cap=budget, **kw,
+            cull_backface=True, budget_cap=budget, mb_budget_cap=mb_budget,
+            **kw,
         )
 
     def make(n):
@@ -106,7 +118,9 @@ def main():
 
     out = {
         "width": W, "height": H, "n": args.n,
-        "budget": budget, "cap_div": frame_kernel.COMPACT_CAP_DIV,
+        "budget": budget, "mb_budget": mb_budget,
+        "cap_div": frame_kernel.COMPACT_CAP_DIV,
+        "clusters": args.clusters or "layout",
         "plain": args.plain,
     }
 
@@ -117,8 +131,8 @@ def main():
             smem_args, kw = frame_kernel.pack_frame_params(Scene(layout, ai))
             _, c = frame_kernel.render_frame_compact(
                 *smem_args, width=W, height=H, max_depth=3,
-                cull_backface=True, budget_cap=budget, debug_count=True,
-                **kw,
+                cull_backface=True, budget_cap=budget,
+                mb_budget_cap=mb_budget, debug_count=True, **kw,
             )
             return c
         counts = [int(count_frame(arrays, 0.033 * (i + 1))) for i in range(4)]
