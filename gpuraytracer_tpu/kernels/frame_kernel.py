@@ -162,6 +162,7 @@ def _frame_kernel(
     mb_budget_cap,  # None | (closest_cap, shadow_cap) — metaball caps
     emit_dirty: bool,
     dense: bool,
+    defer_shadow: bool,
     tri_offsets: Tuple[Tuple[int, int], ...] | None,
     # refs:
     b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref, mat_ref, p2w_ref,
@@ -187,13 +188,33 @@ def _frame_kernel(
         row_off = cvec_ref[7, 0].astype(jnp.int32)
         py = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0) + i * tr + row_off
         px = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1) + j * tc
-    r_ref, g_ref, b_ref, a_ref = rest[:4]
-    rest = rest[4:]
-    if emit_dirty:
-        dirty_ref, *rest = rest
-    else:
+    if defer_shadow:
+        # Deferred-shadow plane set (see render_frame_deferred): per level
+        # the LIT-variant color contribution; for shadowed levels also the
+        # SHADOWED variant, the packed status|capped-geometry info, and
+        # the shadow ray (BLAS origin + direction) for the repair queue.
+        r_ref = g_ref = b_ref = a_ref = None
         dirty_ref = None
-    thit_s, nx_s, ny_s, nz_s, gid_s, *march_scratch = rest
+        n_shadow_lvls = max_depth - 1
+        cl_refs = [rest[4 * k: 4 * k + 4] for k in range(max_depth)]
+        rest = rest[4 * max_depth:]
+        cs_refs = [rest[4 * k: 4 * k + 4] for k in range(n_shadow_lvls)]
+        rest = rest[4 * n_shadow_lvls:]
+        sinfo_refs = list(rest[:n_shadow_lvls])
+        rest = rest[n_shadow_lvls:]
+        sray_refs = [rest[6 * k: 6 * k + 6] for k in range(n_shadow_lvls)]
+        rest = rest[6 * n_shadow_lvls:]
+        thit_s, nx_s, ny_s, nz_s, gid_s, *march_scratch = rest
+        *march_scratch, sdirty_s = march_scratch
+    else:
+        r_ref, g_ref, b_ref, a_ref = rest[:4]
+        rest = rest[4:]
+        if emit_dirty:
+            dirty_ref, *rest = rest
+        else:
+            dirty_ref = None
+        sdirty_s = None
+        thit_s, nx_s, ny_s, nz_s, gid_s, *march_scratch = rest
 
     cam = V3(cvec_ref[0, 0], cvec_ref[0, 1], cvec_ref[0, 2])
     light = V3(cvec_ref[1, 0], cvec_ref[1, 1], cvec_ref[1, 2])
@@ -224,6 +245,10 @@ def _frame_kernel(
         o = V3(ox, oy, oz)
         d = V3(dx, dy, dz)
         active = active_i != 0
+        if dirty_ref is not None:
+            # Kill-on-cap: dirty lanes are recomputed end-to-end by the
+            # dense pass, so every further level is wasted work for them.
+            active = active & (dirty_ref[:] == 0)
         # Shadow rays trace at levels where the child radiance recursion
         # is not yet capped (Raytracing.hlsl:117-120; render/trace.py).
         trace_shadow = lvl + 1 < max_depth
@@ -236,21 +261,32 @@ def _frame_kernel(
         t0 = jnp.where(hit_p, t_p, RAY_TMAX)
         ob = o - blas
 
+        closest_cap = None if defer_shadow else (
+            budget_cap[0] if budget_cap else None
+        )
+        closest_mb_cap = None if defer_shadow else (
+            mb_budget_cap[0] if mb_budget_cap else None
+        )
+
         def closest_traversal():
             scene_kernel._traverse_tile(
                 geoms, clusters, step_budgets, cull_backface, False, "single",
                 ob, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref,
                 mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s, dirty_ref,
                 tuple(march_scratch), order=order,
-                budget_cap=budget_cap[0] if budget_cap else None,
-                mb_budget_cap=mb_budget_cap[0] if mb_budget_cap else None,
-                tri_ref=tri_ref, tri_offsets=tri_offsets,
+                budget_cap=closest_cap,
+                mb_budget_cap=closest_mb_cap,
+                tri_ref=tri_ref, tri_offsets=tri_offsets, kill_on_cap=True,
             )
 
         # Tile-level activity gate: at bounce levels most tiles are fully
         # dead (sky, non-reflective winners) — skip the whole traversal.
         # Stale scratch reads downstream are masked per-lane by `active`.
         pl.when(jnp.any(active))(closest_traversal)
+        if dirty_ref is not None:
+            # Lanes newly capped by the closest traversal: drop them now —
+            # their shadow and bounce work would be recomputed anyway.
+            active = active & (dirty_ref[:] == 0)
         best_t = thit_s[:]
         gid = gid_s[:]
         hit_proc = gid >= 0
@@ -282,15 +318,26 @@ def _frame_kernel(
         obs = hit_pos - blas
         shadow_gate = shadow_active & ~hit_p2
 
+        if defer_shadow:
+            sdirty_s[:] = izero
+            shadow_dirty_ref = sdirty_s
+            shadow_kill = True
+        else:
+            # Compact mode: dirty lanes (from any earlier cap) are fully
+            # recomputed by the dense pass — kill their shadow marches too.
+            shadow_dirty_ref = dirty_ref
+            shadow_kill = True
+
         def shadow_traversal():
             scene_kernel._traverse_tile(
                 geoms, clusters, step_budgets, True, True, "single",
                 obs, sd, shadow_gate, t0s, b2l_ref, l2b_ref,
                 sscale_ref, aabb_ref, mb_ref, thit_s, nx_s, ny_s, nz_s,
-                gid_s, dirty_ref, tuple(march_scratch), order=order,
+                gid_s, shadow_dirty_ref, tuple(march_scratch), order=order,
                 budget_cap=budget_cap[1] if budget_cap else None,
                 mb_budget_cap=mb_budget_cap[1] if mb_budget_cap else None,
                 tri_ref=tri_ref, tri_offsets=tri_offsets,
+                kill_on_cap=shadow_kill,
             )
 
         # Skipping is exact: when no lane needs the occlusion query, the
@@ -300,19 +347,34 @@ def _frame_kernel(
         in_shadow = (hit_p2 | (gid_s[:] >= 0)) & shadow_active
 
         # --- Phong + fake AO (render/shade.phong_lighting) ---------------
-        shadow_factor = jnp.where(in_shadow, IN_SHADOW_RADIANCE, 1.0)
+        # Both shadow variants are computed; in defer mode the final pick
+        # happens in the XLA recomposition (render_frame_deferred) once
+        # the repair queue resolves the capped occlusion queries.
         incident = _normalize_exact(hit_pos - light)
         kd = jnp.clip(-incident.dot(n), 0.0, 1.0)
-        dterm = shadow_factor * diff_coef * kd
         refl_l = _normalize_exact(_reflect(incident, n))
         view = _normalize_exact(V3(-d.x, -d.y, -d.z))
         ks = jnp.power(jnp.clip(refl_l.dot(view), 0.0, 1.0), spec_pow)
-        sterm = jnp.where(in_shadow, 0.0, spec_coef * ks)
         ao = 1.0 - jnp.clip(-n.y, 0.0, 1.0)
-        phong = tuple(
+        ambient = tuple(
             albedo[c] * ((amb[c] - 0.1) + ao * (amb[c] - (amb[c] - 0.1)))
-            + dterm * ldiff[c] * albedo[c]
-            + sterm
+            for c in range(4)
+        )
+
+        def phong_variant(shadowed):
+            shadow_factor = IN_SHADOW_RADIANCE if shadowed else 1.0
+            dterm = shadow_factor * diff_coef * kd
+            sterm = 0.0 if shadowed else spec_coef * ks
+            return tuple(
+                ambient[c] + dterm * ldiff[c] * albedo[c] + sterm
+                for c in range(4)
+            )
+
+        shadow_factor = jnp.where(in_shadow, IN_SHADOW_RADIANCE, 1.0)
+        dterm = shadow_factor * diff_coef * kd
+        sterm = jnp.where(in_shadow, 0.0, spec_coef * ks)
+        phong = tuple(
+            ambient[c] + dterm * ldiff[c] * albedo[c] + sterm
             for c in range(4)
         )
 
@@ -349,16 +411,63 @@ def _frame_kernel(
         tw_out = tuple(twc * mc for twc, mc in zip(tw, mult))
         active_out = active & reflective
         d_out = _reflect(d, n)
+
+        if defer_shadow:
+            # Per-level color contributions, both shadow variants; the
+            # level index is traced (fori_loop), so writes ride pl.when.
+            phong_l = phong_variant(False)
+            phong_s = phong_variant(True)
+
+            def level_term(ph):
+                bb = tuple(
+                    jnp.where(hit, (1.0 - fog) * (k * ph[c]) + fog * bg[c],
+                              bg[c])
+                    for c in range(4)
+                )
+                return tuple(
+                    jnp.where(active, twc * bc, 0.0)
+                    for twc, bc in zip(tw, bb)
+                )
+
+            term_l = level_term(phong_l)
+            term_s = level_term(phong_s)
+            # Status: 0 = definitely lit, 1 = definitely shadowed,
+            # 2 = unknown (a capped march, no hit found) — repair queue.
+            sdirty_bits = sdirty_s[:]
+            unknown = shadow_gate & ~in_shadow & (sdirty_bits != 0)
+            sstat = jnp.where(
+                in_shadow, izero + 1, jnp.where(unknown, izero + 2, izero)
+            )
+            sinfo = sstat | (sdirty_bits << 2)
+            for lk in range(max_depth):
+                def write_level(lk=lk):
+                    for c in range(4):
+                        cl_refs[lk][c][:] = term_l[c]
+                    if lk < max_depth - 1:
+                        for c in range(4):
+                            cs_refs[lk][c][:] = term_s[c]
+                        sinfo_refs[lk][:] = sinfo
+                        sr = sray_refs[lk]
+                        sr[0][:] = obs.x
+                        sr[1][:] = obs.y
+                        sr[2][:] = obs.z
+                        sr[3][:] = sd.x
+                        sr[4][:] = sd.y
+                        sr[5][:] = sd.z
+
+                pl.when(lvl == lk)(write_level)
+
         return (
             hit_pos.x, hit_pos.y, hit_pos.z, d_out.x, d_out.y, d_out.z,
             active_out.astype(jnp.int32), *tw_out, *c_out,
         )
 
     state = jax.lax.fori_loop(0, max_depth, level_body, state0)
-    r_ref[:] = state[11]
-    g_ref[:] = state[12]
-    b_ref[:] = state[13]
-    a_ref[:] = state[14]
+    if not defer_shadow:
+        r_ref[:] = state[11]
+        g_ref[:] = state[12]
+        b_ref[:] = state[13]
+        a_ref[:] = state[14]
 
 
 def _norm_caps(cap):
@@ -497,7 +606,7 @@ def render_frame_tiles(
         cull_backface, tuple(order) if order is not None else None,
         max_depth, width, height, plane_gid,
         m, _norm_caps(budget_cap), _norm_caps(mb_budget_cap), emit_dirty,
-        False,
+        False, False,
         tuple(tri_offsets) if tri_rows is not None else None,
     )
     res = pl.pallas_call(
@@ -530,8 +639,25 @@ COMPACT_BUDGET = 64
 COMPACT_CAP_DIV = 8
 
 
+# Which fused-frame form render_frame routes to by default. "defer" =
+# deferred-shadow compaction (render_frame_deferred — occlusion marches
+# capped, unknowns repaired via the sorted dense queue); "compact" =
+# whole-pixel two-round form; "plain" = single full-budget kernel.
+# Overridable per-process via GPURT_FRAME_MODE.
+DEFAULT_FRAME_MODE = "defer"
+
+
+def frame_mode() -> str:
+    m = os.environ.get("GPURT_FRAME_MODE", "")
+    if m in ("plain", "compact", "defer"):
+        return m
+    if os.environ.get("GPURT_DISABLE_COMPACT"):
+        return "plain"
+    return DEFAULT_FRAME_MODE
+
+
 def compact_enabled() -> bool:
-    return not os.environ.get("GPURT_DISABLE_COMPACT")
+    return frame_mode() != "plain"
 
 
 @functools.partial(
@@ -645,6 +771,7 @@ def render_frame_compact(
             cull_backface, tuple(order) if order is not None else None,
             max_depth, width, height, plane_gid, m,
             _norm_caps(budget_cap), _norm_caps(mb_budget_cap), True, False,
+            False,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
         outs = [jax.ShapeDtypeStruct((hp, wp), f32, **vkw) for _ in range(4)]
@@ -698,7 +825,7 @@ def render_frame_compact(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
             max_depth, width, height, plane_gid, m,
-            None, None, False, True,
+            None, None, False, True, False,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
         outs = [jax.ShapeDtypeStruct((rows, tc), f32, **vkw) for _ in range(4)]
@@ -727,7 +854,7 @@ def render_frame_compact(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
             max_depth, width, height, plane_gid, m,
-            None, None, False, False,
+            None, None, False, False, False,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
         outs = [jax.ShapeDtypeStruct((hp, wp), f32, **vkw) for _ in range(4)]
@@ -748,6 +875,288 @@ def render_frame_compact(
     )
     if debug_count:
         return img, count
+    return img
+
+
+
+
+def _shadow_queue_kernel(
+    geoms, clusters, step_budgets, order,
+    tri_offsets,
+    # refs:
+    b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
+    *rest,
+):
+    """Dense occlusion-repair kernel: one accept-first traversal at FULL
+    budgets over the compacted shadow-unknown queue (BLAS-space rays).
+    This is where deferred capped shadow marches finish — a queue tile is
+    sorted by capped-geometry code, so its long marches share one
+    geometry instead of convoying across all of them."""
+    tri_ref = None
+    if tri_offsets is not None:
+        tri_ref, *rest = rest
+    (qox, qoy, qoz, qdx, qdy, qdz, qact,
+     occ_ref, thit_s, nx_s, ny_s, nz_s, gid_s, *march_scratch) = rest
+    o = V3(qox[:], qoy[:], qoz[:])
+    d = V3(qdx[:], qdy[:], qdz[:])
+    active = qact[:] != 0
+    t0 = jnp.where(active, RAY_TMAX, 0.0)
+
+    def traverse():
+        scene_kernel._traverse_tile(
+            geoms, clusters, step_budgets, True, True, "single",
+            o, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref,
+            mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s, None,
+            tuple(march_scratch), order=order,
+            tri_ref=tri_ref, tri_offsets=tri_offsets,
+        )
+
+    pl.when(jnp.any(active))(traverse)
+    occ_ref[:] = (active & (gid_s[:] >= 0)).astype(jnp.int32)
+
+
+# Deferred-shadow defaults: occlusion marches cap here in round 1 (the
+# crawl/long-tail shadow lanes go to the repair queue instead of convoying
+# their tiles); sweepable via GPURT_SHADOW_CAP.
+SHADOW_CAP = 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "geoms", "clusters", "step_budgets", "cull_backface", "order",
+        "max_depth", "width", "height", "plane_gid", "interpret",
+        "shadow_cap", "mb_shadow_cap", "cap_lanes", "debug_count",
+        "local_height", "tri_offsets",
+    ),
+)
+def render_frame_deferred(
+    b2l_rows, l2b_rot, step_scales, aabbs, mb_params, materials, p2w, cvec,
+    tri_rows=None,
+    *,
+    geoms: Tuple[Tuple[int, int], ...],
+    clusters: Tuple[Tuple[int, ...], ...] | None = None,
+    step_budgets: Tuple[int, ...] | None = None,
+    cull_backface: bool = True,
+    order: Tuple[int, ...] | None = None,
+    max_depth: int = 3,
+    width: int,
+    height: int,
+    plane_gid: int,
+    shadow_cap: int | None = None,
+    mb_shadow_cap: int | None = None,
+    cap_lanes: int | None = None,
+    debug_count: bool = False,
+    local_height: int | None = None,
+    tri_offsets: Tuple[Tuple[int, int], ...] | None = None,
+    interpret: bool = False,
+):
+    """Deferred-shadow frame: ray compaction applied ONLY where it pays.
+
+    Occlusion results do not cascade — a level\'s in_shadow flag scales
+    that level\'s color contribution and nothing else (no ray, throughput,
+    or recursion state depends on it; render/trace.py affine recurrence).
+    So occlusion marches run budget-capped in the fused kernel, which
+    emits per-level color contributions in BOTH shadow variants plus a
+    three-way status (lit / shadowed / unknown). The unknown lanes — the
+    crawl and long-march tail that otherwise convoys whole tiles for the
+    full 512 steps — are compacted (sorted by capped-geometry code) into
+    dense queue tiles that run ONE accept-first traversal at full budget,
+    and the final image is recomposed in XLA by summing the per-level
+    contributions in the kernel\'s own association order with the correct
+    variant selected per level. March results and occlusion booleans are
+    EXACTLY those of the uncompacted kernel (strict-prefix caps +
+    accept-first zeroing; queue lanes re-run the full query from scratch);
+    the recomposed radiance agrees to shading-ulp (~1e-7 — the two kernel
+    programs' shading chains compile with different fusion grouping, the
+    same cross-program floor DEVNOTES documents), far inside the 1e-3
+    budget. Closest-hit marches are never capped here (they DO cascade;
+    whole-pixel requeues were measured slower than the convoy they fix).
+
+    Queue overflow falls back to the plain full-budget kernel (lax.cond).
+    """
+    from gpuraytracer_tpu.core.types import METABALL_MAX_STEPS
+
+    tr, tc = scene_kernel.TILE_ROWS, scene_kernel.TILE_COLS
+    lh = local_height if local_height is not None else height
+    hp = lh + (-lh) % tr
+    wp = width + (-width) % tc
+    grid = (hp // tr, wp // tc)
+    if shadow_cap is None:
+        shadow_cap = int(os.environ.get("GPURT_SHADOW_CAP", SHADOW_CAP))
+
+    smem_args, smem_specs, step_budgets, clusters, m = _prepare_call(
+        materials, aabbs, step_scales, b2l_rows, l2b_rot, mb_params, p2w,
+        cvec, geoms, clusters, step_budgets, tri_rows,
+    )
+    sb = step_budgets
+    cappable = max_depth >= 2 and any(
+        (kk == int(IntersectorKind.SIGNED_DISTANCE) and shadow_cap < sb[i])
+        or (kk == int(IntersectorKind.VOLUMETRIC)
+            and mb_shadow_cap is not None
+            and mb_shadow_cap < METABALL_MAX_STEPS)
+        for i, (kk, _) in enumerate(geoms)
+    )
+    if not cappable:
+        img = render_frame_tiles(
+            b2l_rows, l2b_rot, step_scales, aabbs, mb_params, materials,
+            p2w, cvec, tri_rows,
+            geoms=geoms, clusters=clusters,
+            step_budgets=step_budgets,
+            cull_backface=cull_backface, order=order, max_depth=max_depth,
+            width=width, height=height, plane_gid=plane_gid,
+            local_height=local_height, tri_offsets=tri_offsets,
+            interpret=interpret,
+        )
+        if debug_count:
+            return img, jnp.zeros((), jnp.int32)
+        return img
+
+    tile_spec = pl.BlockSpec((tr, tc), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    vma = getattr(jax.typeof(smem_args[7]), "vma", None)
+    vkw = {"vma": vma} if vma else {}
+    nsl = max_depth - 1  # shadowed levels
+
+    # --- round 1: fused kernel, capped occlusion, contribution planes ---
+    kernel = functools.partial(
+        _frame_kernel, tuple(geoms), clusters, step_budgets,
+        cull_backface, tuple(order) if order is not None else None,
+        max_depth, width, height, plane_gid, m,
+        (None, shadow_cap), (None, mb_shadow_cap), False, False, True,
+        tuple(tri_offsets) if tri_rows is not None else None,
+    )
+    n_out = 4 * max_depth + 4 * nsl + nsl + 6 * nsl
+    outs = (
+        [jax.ShapeDtypeStruct((hp, wp), f32, **vkw)] * (4 * max_depth + 4 * nsl)
+        + [jax.ShapeDtypeStruct((hp, wp), jnp.int32, **vkw)] * nsl
+        + [jax.ShapeDtypeStruct((hp, wp), f32, **vkw)] * (6 * nsl)
+    )
+    scratch = _frame_scratch(tr, tc) + [pltpu.VMEM((tr, tc), jnp.int32)]
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=smem_specs,
+        out_specs=[tile_spec] * n_out,
+        out_shape=outs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*smem_args)
+    cl = [res[4 * kx: 4 * kx + 4] for kx in range(max_depth)]
+    res = res[4 * max_depth:]
+    cs = [res[4 * kx: 4 * kx + 4] for kx in range(nsl)]
+    res = res[4 * nsl:]
+    sinfo = list(res[:nsl])
+    res = res[nsl:]
+    srays = [res[6 * kx: 6 * kx + 6] for kx in range(nsl)]
+
+    # --- queue build: per-level unknown lanes, sorted by capped code ----
+    lanes = hp * wp
+    cap = cap_lanes
+    if cap is None:
+        cap = max(tr * tc, lanes // COMPACT_CAP_DIV)
+    cap = cap + (-cap) % (tr * tc)
+    cap = min(cap, lanes + (-lanes) % (tr * tc))
+
+    idxs = []
+    counts = []
+    for kx in range(nsl):
+        info = sinfo[kx].reshape(-1)
+        unk = (info & 3) == 2
+        counts.append(jnp.sum(unk.astype(jnp.int32)))
+        (idx,) = jnp.nonzero(unk, size=cap, fill_value=-1)
+        idx = idx.astype(jnp.int32)
+        codes = jnp.where(idx >= 0, info[jnp.maximum(idx, 0)] >> 2,
+                          jnp.int32(2 ** 30))
+        perm = jnp.argsort(codes, stable=True)
+        idxs.append(idx[perm])
+
+    def gather_plane(plane, idx):
+        return jnp.where(idx >= 0, plane.reshape(-1)[jnp.maximum(idx, 0)], -1.0)
+
+    qplanes = []
+    for c in range(6):
+        parts = [gather_plane(srays[kx][c], idxs[kx]) for kx in range(nsl)]
+        qplanes.append(jnp.concatenate(parts).reshape(-1, tc))
+    qact = jnp.concatenate(
+        [(idxs[kx] >= 0).astype(jnp.int32) for kx in range(nsl)]
+    ).reshape(-1, tc)
+    rows = qact.shape[0]
+
+    # --- round 2: dense occlusion repair ---------------------------------
+    qkernel = functools.partial(
+        _shadow_queue_kernel, tuple(geoms), clusters, step_budgets,
+        tuple(order) if order is not None else None,
+        tuple(tri_offsets) if tri_rows is not None else None,
+    )
+    (occ,) = pl.pallas_call(
+        qkernel,
+        grid=(rows // tr, 1),
+        in_specs=(smem_specs[:5]
+                  + (smem_specs[8:9] if tri_rows is not None else [])
+                  + [tile_spec] * 7),
+        out_specs=[tile_spec],
+        out_shape=[jax.ShapeDtypeStruct((rows, tc), jnp.int32, **vkw)],
+        scratch_shapes=_frame_scratch(tr, tc),
+        interpret=interpret,
+    )(*smem_args[:5],
+      *((smem_args[8],) if tri_rows is not None else ()),
+      *qplanes, qact)
+
+    occ_flat = occ.reshape(-1)
+    occ_lvl = []
+    for kx in range(nsl):
+        seg = occ_flat[kx * cap: (kx + 1) * cap]
+        plane = jnp.zeros((lanes,), jnp.int32).at[idxs[kx]].set(
+            seg, mode="drop"
+        )
+        occ_lvl.append(plane.reshape(hp, wp))
+
+    # --- recomposition: identical association order to the kernel -------
+    def compose(_):
+        chans = []
+        for c in range(4):
+            acc = None
+            for kx in range(max_depth):
+                if kx < nsl:
+                    stat = sinfo[kx] & 3
+                    shad = (stat == 1) | ((stat == 2) & (occ_lvl[kx] != 0))
+                    term = jnp.where(shad, cs[kx][c], cl[kx][c])
+                else:
+                    term = cl[kx][c]
+                acc = term if acc is None else acc + term
+            chans.append(acc)
+        return tuple(chans)
+
+    def fallback(_):
+        kernel = functools.partial(
+            _frame_kernel, tuple(geoms), clusters, step_budgets,
+            cull_backface, tuple(order) if order is not None else None,
+            max_depth, width, height, plane_gid, m,
+            None, None, False, False, False,
+            tuple(tri_offsets) if tri_rows is not None else None,
+        )
+        fouts = [jax.ShapeDtypeStruct((hp, wp), f32, **vkw) for _ in range(4)]
+        return tuple(pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=smem_specs,
+            out_specs=[tile_spec] * 4,
+            out_shape=fouts,
+            scratch_shapes=_frame_scratch(tr, tc),
+            interpret=interpret,
+        )(*smem_args))
+
+    total_count = sum(counts)
+    ok = jnp.all(jnp.stack([cc <= cap for cc in counts]))
+    r, gc, b, a = jax.lax.cond(ok, compose, fallback, None)
+    img = jnp.stack(
+        [r[:lh, :width], gc[:lh, :width], b[:lh, :width],
+         a[:lh, :width]], axis=-1,
+    )
+    if debug_count:
+        return img, total_count
     return img
 
 

@@ -776,7 +776,7 @@ def _traverse_tile(
     o, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
     thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
     order=None, budget_cap=None, mb_budget_cap=None,
-    tri_ref=None, tri_offsets=None,
+    tri_ref=None, tri_offsets=None, kill_on_cap=False,
 ):
     # Closest-hit state lives in the OUTPUT refs so each geometry's entire
     # body (local transform + intersector + reduction) can sit under a
@@ -809,6 +809,14 @@ def _traverse_tile(
         gate = (
             (tmax_g > tmin_g) & (tmax_g >= 0.0) & (tmin_g <= thit_ref[:]) & active
         )
+        if dirty_ref is not None and kill_on_cap:
+            # Kill-on-cap: a lane with ANY capped march is already doomed
+            # to a full dense-pass recompute (render_frame_compact), so
+            # marching it further is pure waste — worse, its missing
+            # best_t leaves every later gate open (measured: capping all
+            # budgets at 64 was SLOWER than full budgets, 62.4 vs 57.3 ms,
+            # purely from this effect).
+            gate = gate & (dirty_ref[:] == 0)
 
         def process(g=g, kind=kind, code=code, cull_g=cull_g, gate=gate):
             best_t = thit_ref[:]

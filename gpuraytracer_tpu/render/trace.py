@@ -211,9 +211,18 @@ def render_frame(scene: Scene, width: int, height: int, *, max_depth: int = MAX_
 
     if frame_kernel.fused_eligible(scene):
         smem_args, kw = frame_kernel.pack_frame_params(scene)
-        if frame_kernel.compact_enabled():
-            # Two-round compacted frame: budget-capped marches + dense
-            # dirty-lane requeue (bit-identical; see render_frame_compact).
+        mode = frame_kernel.frame_mode()
+        if mode == "defer":
+            # Deferred-shadow compaction: occlusion marches capped in the
+            # fused kernel, unknown lanes repaired by a sorted dense
+            # accept-first queue (see render_frame_deferred).
+            return frame_kernel.render_frame_deferred(
+                *smem_args, width=width, height=height, max_depth=max_depth,
+                cull_backface=True, **kw,
+            )
+        if mode == "compact":
+            # Two-round whole-pixel compacted frame (bit-identical; see
+            # render_frame_compact).
             return frame_kernel.render_frame_compact(
                 *smem_args, width=width, height=height, max_depth=max_depth,
                 cull_backface=True, **kw,

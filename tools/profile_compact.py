@@ -35,6 +35,9 @@ def main():
     p.add_argument("--cap-div", type=int, default=0)
     p.add_argument("--counts", action="store_true")
     p.add_argument("--plain", action="store_true")
+    p.add_argument("--defer", action="store_true", dest="defer_shadow",
+                   help="deferred-shadow mode (render_frame_deferred)")
+    p.add_argument("--shadow-cap", type=int, default=0)
     p.add_argument("--clusters", type=int, default=0,
                    help="re-cluster the scene with this leaf size "
                         "(visit-overhead experiment; 0 = layout default)")
@@ -92,6 +95,12 @@ def main():
                 *smem_args, width=W, height=H, max_depth=3,
                 cull_backface=True, **kw,
             )
+        if args.defer_shadow:
+            return frame_kernel.render_frame_deferred(
+                *smem_args, width=W, height=H, max_depth=3,
+                cull_backface=True,
+                shadow_cap=args.shadow_cap or None, **kw,
+            )
         return frame_kernel.render_frame_compact(
             *smem_args, width=W, height=H, max_depth=3,
             cull_backface=True, budget_cap=budget, mb_budget_cap=mb_budget,
@@ -118,6 +127,7 @@ def main():
 
     out = {
         "width": W, "height": H, "n": args.n,
+        "defer": args.defer_shadow, "shadow_cap": args.shadow_cap or "default",
         "budget": budget, "mb_budget": mb_budget,
         "cap_div": frame_kernel.COMPACT_CAP_DIV,
         "clusters": args.clusters or "layout",
@@ -129,6 +139,13 @@ def main():
         def count_frame(a, t):
             ai = builtin.animate_arrays(a, t)
             smem_args, kw = frame_kernel.pack_frame_params(Scene(layout, ai))
+            if args.defer_shadow:
+                _, c = frame_kernel.render_frame_deferred(
+                    *smem_args, width=W, height=H, max_depth=3,
+                    cull_backface=True, shadow_cap=args.shadow_cap or None,
+                    debug_count=True, **kw,
+                )
+                return c
             _, c = frame_kernel.render_frame_compact(
                 *smem_args, width=W, height=H, max_depth=3,
                 cull_backface=True, budget_cap=budget,
