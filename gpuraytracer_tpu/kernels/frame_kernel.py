@@ -644,7 +644,13 @@ COMPACT_CAP_DIV = 8
 # capped, unknowns repaired via the sorted dense queue); "compact" =
 # whole-pixel two-round form; "plain" = single full-budget kernel.
 # Overridable per-process via GPURT_FRAME_MODE.
-DEFAULT_FRAME_MODE = "defer"
+# Measured (round 3, 1080p builtin, v5e device slopes): plain 57.3 ms —
+# the compaction modes lose on this workload (compact 79-86 ms: dirty
+# pixels are the expensive ones and re-pay all five traversals; defer
+# 125 ms at cap 32: the repair queue destroys the shadow pass's spatial
+# locality, so queue tiles march every geometry at full budget). They
+# remain selectable for workloads with deeper march tails.
+DEFAULT_FRAME_MODE = "plain"
 
 
 def frame_mode() -> str:
@@ -927,7 +933,7 @@ SHADOW_CAP = 32
         "geoms", "clusters", "step_budgets", "cull_backface", "order",
         "max_depth", "width", "height", "plane_gid", "interpret",
         "shadow_cap", "mb_shadow_cap", "cap_lanes", "debug_count",
-        "local_height", "tri_offsets",
+        "local_height", "tri_offsets", "qsort",
     ),
 )
 def render_frame_deferred(
@@ -949,6 +955,7 @@ def render_frame_deferred(
     debug_count: bool = False,
     local_height: int | None = None,
     tri_offsets: Tuple[Tuple[int, int], ...] | None = None,
+    qsort: str = "block-code",
     interpret: bool = False,
 ):
     """Deferred-shadow frame: ray compaction applied ONLY where it pays.
@@ -1067,10 +1074,23 @@ def render_frame_deferred(
         counts.append(jnp.sum(unk.astype(jnp.int32)))
         (idx,) = jnp.nonzero(unk, size=cap, fill_value=-1)
         idx = idx.astype(jnp.int32)
-        codes = jnp.where(idx >= 0, info[jnp.maximum(idx, 0)] >> 2,
-                          jnp.int32(2 ** 30))
-        perm = jnp.argsort(codes, stable=True)
-        idxs.append(idx[perm])
+        # Queue order controls BOTH convoy alignment (same capped geometry
+        # per dense tile) and spatial locality (few AABB gates pass per
+        # tile). Pure code-sorting scattered each tile's rays across the
+        # whole scene and every geometry marched at full budget (measured
+        # 0.6 ms per dense tile); raster order alone mixes capped
+        # geometries. Default: raster BLOCKS (16-image-row regions) as the
+        # primary key, capped-geometry code within the block.
+        if qsort == "raster":
+            perm = None
+        else:
+            codes = jnp.where(idx >= 0, info[jnp.maximum(idx, 0)] >> 2,
+                              jnp.int32(2 ** 30))
+            if qsort == "block-code":
+                block = jnp.where(idx >= 0, idx >> 15, jnp.int32(2 ** 14))
+                codes = block * 1024 + jnp.minimum(codes, 1023)
+            perm = jnp.argsort(codes, stable=True)
+        idxs.append(idx if perm is None else idx[perm])
 
     def gather_plane(plane, idx):
         return jnp.where(idx >= 0, plane.reshape(-1)[jnp.maximum(idx, 0)], -1.0)

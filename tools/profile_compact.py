@@ -38,6 +38,8 @@ def main():
     p.add_argument("--defer", action="store_true", dest="defer_shadow",
                    help="deferred-shadow mode (render_frame_deferred)")
     p.add_argument("--shadow-cap", type=int, default=0)
+    p.add_argument("--qsort", type=str, default="block-code",
+                   choices=["code", "raster", "block-code"])
     p.add_argument("--clusters", type=int, default=0,
                    help="re-cluster the scene with this leaf size "
                         "(visit-overhead experiment; 0 = layout default)")
@@ -98,7 +100,7 @@ def main():
         if args.defer_shadow:
             return frame_kernel.render_frame_deferred(
                 *smem_args, width=W, height=H, max_depth=3,
-                cull_backface=True,
+                cull_backface=True, qsort=args.qsort,
                 shadow_cap=args.shadow_cap or None, **kw,
             )
         return frame_kernel.render_frame_compact(
@@ -128,6 +130,7 @@ def main():
     out = {
         "width": W, "height": H, "n": args.n,
         "defer": args.defer_shadow, "shadow_cap": args.shadow_cap or "default",
+        "qsort": args.qsort,
         "budget": budget, "mb_budget": mb_budget,
         "cap_div": frame_kernel.COMPACT_CAP_DIV,
         "clusters": args.clusters or "layout",
