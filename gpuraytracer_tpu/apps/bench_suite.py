@@ -60,12 +60,24 @@ def bench_config(cfg, frames: int = 4, warmup: int = 1, scale: float = 1.0,
         # chained frames cannot be CSE'd into one render by XLA.
         return 0.033 * i if cfg.animated else 1e-5 * i
 
+    import dataclasses
+
     def make_chain(n):
         @jax.jit
         def chain(arrays):
             acc = jnp.float32(0.0)
             for i in range(n):
                 a = animate(arrays, frame_t(i))
+                # Configs whose animator consumes no time (static single
+                # sphere) would still CSE the chained frames; a 1e-6
+                # camera perturbation makes every frame a distinct
+                # program at unmeasurable render cost.
+                ci = dataclasses.replace(
+                    a.constants,
+                    camera_position=a.constants.camera_position
+                    + jnp.float32(1e-6) * i,
+                )
+                a = dataclasses.replace(a, constants=ci)
                 img = trace.render_frame(
                     Scene(layout, a), width, height, max_depth=cfg.max_depth
                 )

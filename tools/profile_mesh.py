@@ -82,13 +82,24 @@ def main():
 
     from gpuraytracer_tpu.accel.instances import Scene
 
+    import dataclasses
+
     def make(n):
         @jax.jit
         def f(a):
             acc = jnp.float32(0.0)
             for i in range(n):
-                img = trace.render_frame(Scene(layout, a), W, H)
-                acc = acc + jnp.sum(img) + 0.0 * i
+                # Microscopic per-frame camera perturbation so chained
+                # frames cannot be CSE'd into one render by XLA (the
+                # bench_suite trick; frames must be distinct programs).
+                ci = dataclasses.replace(
+                    a.constants,
+                    camera_position=a.constants.camera_position
+                    + jnp.float32(1e-6) * (i + 1),
+                )
+                ai = dataclasses.replace(a, constants=ci)
+                img = trace.render_frame(Scene(layout, ai), W, H)
+                acc = acc + jnp.sum(img)
             return acc
         return f
 
