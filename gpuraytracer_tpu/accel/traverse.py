@@ -118,6 +118,10 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
         from gpuraytracer_tpu.core.types import SDF_MAX_STEPS
 
         steps = SDF_MAX_STEPS if max_steps is None else int(max_steps)
+        # Extension DE fractals march over-relaxed (Keinert 2014 —
+        # sdf.extension_relax); reference codes keep the exact reference
+        # step sequence (relax = 1).
+        relax = sdf.extension_relax() if int(prim_type) >= 7 else 1.0
         if megakernel.pallas_available() and o_loc.ndim == 3:
             t_max_arr = jnp.broadcast_to(
                 jnp.asarray(t_hi, dtype=o_loc.dtype), o_loc.shape[:-1]
@@ -130,7 +134,7 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             return megakernel.sphere_trace_tiles(
                 o_loc, d_loc, gate, t_max_arr, step_scale,
                 prim_code=int(prim_type), cull_backface=cull,
-                max_steps=steps, t_start=t_start_arr,
+                max_steps=steps, t_start=t_start_arr, relax=relax,
             )
         distance_fn = sdf.DISTANCE_FUNCTIONS[int(prim_type)]
         return sdf.sphere_trace(
@@ -146,6 +150,7 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             # The retirement bound only holds for envelope-verified codes;
             # extension primitives are AABB-windowed instead (t_hi above).
             escape_bound=int(prim_type) in sdf.ESCAPE_SAFE_CODES,
+            relax=relax,
         )
     raise ValueError(f"no intersector for kind={kind} type={prim_type}")
 

@@ -386,6 +386,37 @@ def march_escape_t(o_norm, d_norm):
     return (o_norm + ESCAPE_RADIUS) / denom
 
 
+# --- over-relaxed sphere tracing (extension primitives only) --------------
+#
+# Keinert et al. 2014 ("Enhanced Sphere Tracing"): cruise steps use
+# omega * step_scale * dist; an overshoot is detected when consecutive
+# safety spheres are disjoint — dist_i + dist_{i-1} < omega * dist_{i-1},
+# the step_scale cancels — in which case the lane steps BACK to a point
+# inside the previous safety sphere ((1-omega) of the relaxed step) and
+# marches plainly from there on. No crossing can be missed: a surface
+# between two samples forces the disjoint condition (the DE underestimates
+# distance), so every overshoot is caught and replayed at omega = 1.
+#
+# Applied ONLY to extension DE fractals (codes >= 7, the AABB-windowed
+# set): the reference primitives keep the reference's exact step sequence
+# for parity (BASELINE 1e-3 budget), and their escape-cone retirement
+# argument assumes unrelaxed steps. Relaxed lanes retire on the
+# UNRELAXED reach (t + step_scale*dist > window exit) — the same
+# no-crossing-within-reach argument as the plain marcher, sound under
+# overshoot. Sweepable via GPURT_RELAX; 1.0 disables.
+RELAX_OMEGA = 1.6
+
+
+def extension_relax() -> float:
+    import os
+
+    try:
+        v = float(os.environ.get("GPURT_RELAX", RELAX_OMEGA))
+    except ValueError:
+        return RELAX_OMEGA
+    return v if v > 1.0 else 1.0
+
+
 def sphere_trace(
     origins,
     directions,
@@ -400,6 +431,7 @@ def sphere_trace(
     chunk_size: int | None = None,
     unroll: int | None = None,
     escape_bound: bool = True,
+    relax: float = 1.0,
 ):
     """Wavefront sphere tracer reproducing RaySignedDistancePrimitiveTest.
 
@@ -457,13 +489,25 @@ def sphere_trace(
         done0 = ~active
         paused0 = zero > 1.0  # all False
         t_hit0 = zero + jnp.inf
+        relaxed = relax > 1.0
+        if relaxed:
+            # Over-relaxation carries (see extension_relax): previous
+            # radius, and the per-lane "omega still on" flag (disabled
+            # forever on the first overshoot or resume — Keinert 2014).
+            state0 = (t0, steps0, done0, paused0, t_hit0, zero,
+                      steps0 + 1)
+        else:
+            state0 = (t0, steps0, done0, paused0, t_hit0)
 
         def cond(state):
-            t, steps, done, paused, t_hit = state
-            return jnp.any(~done)
+            return jnp.any(~state[2])
 
         def body(state):
-            t, steps, done, paused, t_hit = state
+            if relaxed:
+                t, steps, done, paused, t_hit, rprev, oon_i = state
+                oon = oon_i != 0
+            else:
+                t, steps, done, paused, t_hit = state
 
             # -- validity phase: lanes paused at a crossing get the full
             # check (the body of the reference's
@@ -507,24 +551,46 @@ def sphere_trace(
                 out_of_steps = marching & ~resume & (steps >= max_steps)
                 done = done | out_of_steps
 
-                crossed = dist <= SDF_HIT_THRESHOLD * t
+                if relaxed:
+                    # Overshoot: consecutive safety spheres disjoint
+                    # (step_scale cancels from both sides).
+                    fail = fresh & oon & (dist + rprev < relax * rprev)
+                    crossed = (dist <= SDF_HIT_THRESHOLD * t) & ~fail
+                else:
+                    crossed = dist <= SDF_HIT_THRESHOLD * t
                 newly_paused = fresh & crossed
                 advance = fresh & ~crossed
                 steps = steps + jnp.where(fresh, 1, 0)
 
                 moved = adv_resume | advance
-                t = jnp.where(moved, t + step_scale * dist, t)
-                # Reference re-checks `t <= RayTCurrent()` before the next
-                # eval; past t_escape no crossing can ever occur, so
-                # retiring there too is result-identical.
-                done = done | (moved & (t > t_escape))
+                if relaxed:
+                    # Retire on the UNRELAXED reach: no crossing can lie
+                    # within step_scale*dist of the sample, so exceeding
+                    # the window there is sound even mid-overshoot.
+                    done = done | (moved & (t + step_scale * dist > t_escape))
+                    plain = step_scale * dist
+                    fail_step = ((1.0 - relax) * relax) * (step_scale * rprev)
+                    stepv = jnp.where(
+                        fail, fail_step,
+                        jnp.where(oon & ~adv_resume, relax * plain, plain),
+                    )
+                    t = jnp.where(moved, t + stepv, t)
+                    oon = oon & ~fail & ~adv_resume
+                    rprev = jnp.where(moved, dist, rprev)
+                else:
+                    t = jnp.where(moved, t + step_scale * dist, t)
+                    # Reference re-checks `t <= RayTCurrent()` before the
+                    # next eval; past t_escape no crossing can ever occur,
+                    # so retiring there too is result-identical.
+                    done = done | (moved & (t > t_escape))
                 paused = paused | newly_paused
                 resume = resume & ~adv_resume
+            if relaxed:
+                return (t, steps, done, paused, t_hit, rprev,
+                        oon.astype(jnp.int32))
             return t, steps, done, paused, t_hit
 
-        _, _, _, _, t_hit = jax.lax.while_loop(
-            cond, body, (t0, steps0, done0, paused0, t_hit0)
-        )
+        t_hit = jax.lax.while_loop(cond, body, state0)[4]
 
         hit = jnp.isfinite(t_hit)
         pos_hit = origins + t_hit[..., None] * directions

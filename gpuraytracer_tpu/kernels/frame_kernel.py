@@ -527,13 +527,16 @@ def _frame_scratch(tr, tc):
         pltpu.VMEM((tr, tc), f32),   # ny
         pltpu.VMEM((tr, tc), f32),   # nz
         pltpu.VMEM((tr, tc), jnp.int32),  # gid
-        # march scratch (see scene_kernel._march_sdf)
+        # march scratch (see scene_kernel._march_sdf; trailing pair = the
+        # over-relaxation carries)
         pltpu.VMEM((tr, tc), f32),
         pltpu.VMEM((tr, tc), jnp.int32),
         pltpu.VMEM((tr, tc), jnp.int32),
         pltpu.VMEM((tr, tc), jnp.int32),
         pltpu.VMEM((tr, tc), jnp.int32),
         pltpu.VMEM((tr, tc), f32),
+        pltpu.VMEM((tr, tc), f32),
+        pltpu.VMEM((tr, tc), jnp.int32),
     ]
 
 

@@ -43,6 +43,7 @@ def _tile_march_kernel(
     max_steps: int,
     unroll: int,
     escape_bound: bool,
+    relax: float,
     # refs:
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
@@ -69,7 +70,7 @@ def _tile_march_kernel(
     _, t_hit, _ = _march_sdf(
         distance_fn, o, d, gate, t_max, step_scale, tuple(march_scratch),
         unroll=unroll, max_steps=max_steps, cull_backface=cull_backface,
-        t_start=t_start, escape_bound=escape_bound,
+        t_start=t_start, escape_bound=escape_bound, relax=relax,
     )
 
     hit = t_hit < inf
@@ -87,7 +88,8 @@ def _tile_march_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("prim_code", "cull_backface", "max_steps", "unroll", "interpret"),
+    static_argnames=("prim_code", "cull_backface", "max_steps", "unroll",
+                     "relax", "interpret"),
 )
 def sphere_trace_tiles(
     origins,  # (H, W, 3) local-space
@@ -101,6 +103,7 @@ def sphere_trace_tiles(
     max_steps: int = SDF_MAX_STEPS,
     unroll: int = 8,
     t_start=None,  # (H, W) f32 march start (AABB-windowed extensions)
+    relax: float = 1.0,
     interpret: bool = False,
 ):
     """Per-tile Pallas sphere trace. Returns (hit, t_hit, normal) like
@@ -138,7 +141,7 @@ def sphere_trace_tiles(
 
     kernel = functools.partial(
         _tile_march_kernel, distance_fn, cull_backface, max_steps, unroll,
-        int(prim_code) in sdf_mod.ESCAPE_SAFE_CODES,
+        int(prim_code) in sdf_mod.ESCAPE_SAFE_CODES, float(relax),
     )
     vma = getattr(jax.typeof(planes[0]), "vma", None)
     kw = {"vma": vma} if vma else {}
@@ -156,6 +159,8 @@ def sphere_trace_tiles(
             pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
             pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
             pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
         ],
         interpret=interpret,
     )(*planes, jnp.asarray(step_scale, dtype=jnp.float32).reshape(1, 1))

@@ -79,6 +79,23 @@ MARCH_HALVES = 1
 # default off pending measurement; profiling knob.
 SHADOW_INLINE = False
 
+# Closed-form geometry kinds whose whole intersector body costs about as
+# much as the pl.when plumbing around it (a tile-wide any-reduction + a
+# Mosaic branch per geometry per traversal). Consecutive runs of these in
+# the traversal order share ONE activity branch: their slab gates are
+# evaluated up front, the run's bodies sit under a single
+# pl.when(any(union)), and each body is masked per-lane by its own gate —
+# result-identical (the closest/accept-first reductions are unchanged and
+# run in the same order), but a scene like the 16-instance analytic grid
+# pays 1 branch per tile per traversal instead of 16. March kinds keep
+# their individual branches (their bodies are while loops — skipping a
+# gated-out march is the whole point). Knob: GPURT_NO_BATCH_CHEAP.
+_CHEAP_KINDS = (int(IntersectorKind.ANALYTIC), int(IntersectorKind.TRIANGLE))
+
+
+def _batch_cheap() -> bool:
+    return not os.environ.get("GPURT_NO_BATCH_CHEAP")
+
 
 def _split_v3(v: V3, h: int, n: int) -> V3:
     w = v.x.shape[-1] // n
@@ -111,18 +128,18 @@ def _march_split(part_fn, o, d, gate, t_max, scratch, n, t_start=None):
 
 def _march_sdf(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
                unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True,
-               t_start=None, escape_bound=True):
+               t_start=None, escape_bound=True, relax=1.0):
     n = MARCH_HALVES
     if n <= 1 or gate.shape[-1] % (n * 128) != 0:
         return _march_sdf_part(distance_fn, o, d, gate, t_max, step_scale,
                                scratch, unroll=unroll, max_steps=max_steps,
                                cull_backface=cull_backface, t_start=t_start,
-                               escape_bound=escape_bound)
+                               escape_bound=escape_bound, relax=relax)
     return _march_split(
         lambda oo, dd, g, tm, sc, ts: _march_sdf_part(
             distance_fn, oo, dd, g, tm, step_scale, sc, unroll=unroll,
             max_steps=max_steps, cull_backface=cull_backface, t_start=ts,
-            escape_bound=escape_bound,
+            escape_bound=escape_bound, relax=relax,
         ),
         o, d, gate, t_max, scratch, n, t_start=t_start,
     )
@@ -160,7 +177,7 @@ def _normal_at(distance_fn, p: V3) -> V3:
 
 def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
                     unroll=None, max_steps=SDF_MAX_STEPS, cull_backface=True,
-                    t_start=None, escape_bound=True):
+                    t_start=None, escape_bound=True, relax=1.0):
     """Pause/check sphere trace over one tile (or sub-tile column block;
     see _march_sdf), march state in VMEM scratch
     refs. Bit-identical to the reference march semantics
@@ -176,7 +193,9 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
     clean tiles)."""
     if unroll is None:
         unroll = UNROLL_SDF
-    t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref = scratch
+    (t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref,
+     rprev_ref, oon_ref) = scratch
+    relaxed = relax > 1.0
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0
     izero = zero.astype(jnp.int32)
@@ -200,6 +219,9 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
     paused_ref[:] = izero
     resume_ref[:] = izero
     thit_ref[:] = zero + inf
+    if relaxed:
+        rprev_ref[:] = zero
+        oon_ref[:] = izero + 1
 
     def check():
         # Validity check for paused lanes (Raytracing.hlsl IsAValidHit).
@@ -230,6 +252,9 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
         done = done_ref[:] != 0
         paused = paused_ref[:] != 0
         resume = resume_ref[:] != 0
+        if relaxed:
+            rprev = rprev_ref[:]
+            oon = oon_ref[:] != 0
         for _ in range(unroll):
             marching = ~done & ~paused
             pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
@@ -237,13 +262,34 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
             adv_resume = marching & resume
             fresh = marching & ~resume & (steps < max_steps)
             done = done | (marching & ~resume & (steps >= max_steps))
-            crossed = dist <= SDF_HIT_THRESHOLD * t
+            if relaxed:
+                # Over-relaxation (sdf.extension_relax): overshoot when
+                # consecutive safety spheres are disjoint (the step_scale
+                # cancels); failed lanes step back inside the previous
+                # sphere and march plainly from then on.
+                fail = fresh & oon & (dist + rprev < relax * rprev)
+                crossed = (dist <= SDF_HIT_THRESHOLD * t) & ~fail
+            else:
+                crossed = dist <= SDF_HIT_THRESHOLD * t
             newly_paused = fresh & crossed
             advance = fresh & ~crossed
             steps = steps + jnp.where(fresh, 1, 0)
             moved = adv_resume | advance
-            t = jnp.where(moved, t + step_scale * dist, t)
-            done = done | (moved & (t > t_escape))
+            if relaxed:
+                # Retire on the UNRELAXED reach — sound mid-overshoot.
+                done = done | (moved & (t + step_scale * dist > t_escape))
+                plain = step_scale * dist
+                fail_step = ((1.0 - relax) * relax) * (step_scale * rprev)
+                stepv = jnp.where(
+                    fail, fail_step,
+                    jnp.where(oon & ~adv_resume, relax * plain, plain),
+                )
+                t = jnp.where(moved, t + stepv, t)
+                oon = oon & ~fail & ~adv_resume
+                rprev = jnp.where(moved, dist, rprev)
+            else:
+                t = jnp.where(moved, t + step_scale * dist, t)
+                done = done | (moved & (t > t_escape))
             paused = paused | newly_paused
             resume = resume & ~adv_resume
         t_ref[:] = t
@@ -251,6 +297,9 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
         done_ref[:] = done.astype(jnp.int32)
         paused_ref[:] = paused.astype(jnp.int32)
         resume_ref[:] = resume.astype(jnp.int32)
+        if relaxed:
+            rprev_ref[:] = rprev
+            oon_ref[:] = oon.astype(jnp.int32)
         # Paused lanes always have done == 0, so lanes that paused on the
         # last micro-step keep the loop alive for their validity check.
         return jnp.any(~done)
@@ -280,7 +329,8 @@ def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None
     prefix of the full march, not a coarser one."""
     if unroll is None:
         unroll = UNROLL_MB
-    t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref = scratch
+    # Trailing pair (relax carries) is SDF-only — unused here.
+    t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref = scratch[:6]
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0
 
@@ -392,7 +442,7 @@ def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None
 
 def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
                       unroll=8, max_steps=SDF_MAX_STEPS, cull_backface=True,
-                      t_start=None, escape_bound=True):
+                      t_start=None, escape_bound=True, relax=1.0):
     """Direct transcription of RaySignedDistancePrimitiveTest
     (SignedDistancePrimitives.hlsli:287-319): the validity check (4-eval
     tetrahedral normal + cull + range) runs INLINE at every step, so
@@ -410,20 +460,30 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
     else:
         t_escape = t_max
     t0 = zero if t_start is None else zero + t_start
+    relaxed = relax > 1.0
     state0 = (t0, izero, jnp.where(gate, izero, izero + 1), zero + inf)
+    if relaxed:
+        state0 = state0 + (zero, izero + 1)
 
     def cond(state):
-        _, _, done_i, _ = state
-        return jnp.any(done_i == 0)
+        return jnp.any(state[2] == 0)
 
     def body(state):
-        t, steps, done_i, t_hit = state
+        if relaxed:
+            t, steps, done_i, t_hit, rprev, oon_i = state
+            oon = oon_i != 0
+        else:
+            t, steps, done_i, t_hit = state
         done = done_i != 0
         for _ in range(unroll):
             marching = ~done
             pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
             dist = distance_fn(pos)
-            crossed = dist <= SDF_HIT_THRESHOLD * t
+            if relaxed:
+                fail = marching & oon & (dist + rprev < relax * rprev)
+                crossed = (dist <= SDF_HIT_THRESHOLD * t) & ~fail
+            else:
+                crossed = dist <= SDF_HIT_THRESHOLD * t
             n = _normal_at(distance_fn, pos)
             facing_ok = (d.dot(n) <= 0.0) if cull_backface else (t == t)
             in_range = (t >= 0.0) & (t <= t_max)
@@ -431,12 +491,32 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
             t_hit = jnp.where(valid, t, t_hit)
             done = done | valid
             move = marching & ~valid
-            t = jnp.where(move, t + step_scale * dist, t)
-            steps = steps + jnp.where(marching, 1, 0)
-            done = done | (marching & ((steps >= max_steps) | (t > t_escape)))
+            if relaxed:
+                # Invalid crossings mirror the pause/check form's resume:
+                # plain step, relaxation off for the lane from then on.
+                invalid_cross = marching & crossed & ~valid
+                plain = step_scale * dist
+                fail_step = ((1.0 - relax) * relax) * (step_scale * rprev)
+                stepv = jnp.where(
+                    fail, fail_step,
+                    jnp.where(oon & ~invalid_cross, relax * plain, plain),
+                )
+                done = done | (move & (t + plain > t_escape))
+                t = jnp.where(move, t + stepv, t)
+                oon = oon & ~fail & ~invalid_cross
+                rprev = jnp.where(move, dist, rprev)
+                steps = steps + jnp.where(marching, 1, 0)
+                done = done | (marching & (steps >= max_steps))
+            else:
+                t = jnp.where(move, t + step_scale * dist, t)
+                steps = steps + jnp.where(marching, 1, 0)
+                done = done | (marching & ((steps >= max_steps) | (t > t_escape)))
+        if relaxed:
+            return (t, steps, done.astype(jnp.int32), t_hit, rprev,
+                    oon.astype(jnp.int32))
         return t, steps, done.astype(jnp.int32), t_hit
 
-    _, _, _, t_hit = jax.lax.while_loop(cond, body, state0)
+    t_hit = jax.lax.while_loop(cond, body, state0)[3]
     return t_hit < inf, t_hit
 
 
@@ -588,6 +668,8 @@ def _finish_tile(
                     t_hi, sscale_ref[g, 0], cull_backface=cull_g,
                     max_steps=step_budgets[g], t_start=t_lo,
                     escape_bound=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
+                    relax=(sdf_mod.extension_relax()
+                           if int(code) >= 7 else 1.0),
                 )
             else:
                 balls = tuple(
@@ -671,10 +753,10 @@ def _scene_kernel(
     tri_ref = None
     if tri_offsets is not None:
         tri_ref, *rest = rest
-    # March-state scratch (see _march_sdf) is the trailing 6 refs of every
+    # March-state scratch (see _march_sdf) is the trailing 8 refs of every
     # phase layout.
-    march_scratch = tuple(rest[-6:])
-    rest = rest[:-6]
+    march_scratch = tuple(rest[-8:])
+    rest = rest[:-8]
     if phase == "finish":
         (dirty_ref, p_thit_ref, p_nx_ref, p_ny_ref, p_nz_ref, p_gid_ref,
          thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, _upd_scratch) = rest
@@ -791,14 +873,7 @@ def _traverse_tile(
     nz_ref[:] = zero
     gid_ref[:] = zero.astype(jnp.int32) - 1
 
-    def handle_geometry(g, kind, code):
-        # Extension DE fractals (codes past the reference's 0..6) skip the
-        # back-face cull: their rough boundaries make the tetrahedral
-        # normal noisy, turning the cull check into a resume-crawl. The
-        # reference primitives keep exact cull parity.
-        cull_g = cull_backface and not (
-            kind == int(IntersectorKind.SIGNED_DISTANCE) and int(code) >= 7
-        )
+    def geometry_gate(g):
         # In-kernel slab gate against this geometry's BLAS-space AABB,
         # bounded by the tile's current best_t (shrinking RayTCurrent).
         tmin_g, tmax_g = soa.aabb_interval(
@@ -817,6 +892,16 @@ def _traverse_tile(
             # budgets at 64 was SLOWER than full budgets, 62.4 vs 57.3 ms,
             # purely from this effect).
             gate = gate & (dirty_ref[:] == 0)
+        return gate, tmin_g, tmax_g
+
+    def geometry_body(g, kind, code, gate, tmin_g, tmax_g):
+        # Extension DE fractals (codes past the reference's 0..6) skip the
+        # back-face cull: their rough boundaries make the tetrahedral
+        # normal noisy, turning the cull check into a resume-crawl. The
+        # reference primitives keep exact cull parity.
+        cull_g = cull_backface and not (
+            kind == int(IntersectorKind.SIGNED_DISTANCE) and int(code) >= 7
+        )
 
         def process(g=g, kind=kind, code=code, cull_g=cull_g, gate=gate):
             best_t = thit_ref[:]
@@ -876,11 +961,14 @@ def _traverse_tile(
                 from gpuraytracer_tpu.geometry import sdf as sdf_mod
 
                 esc = int(code) in sdf_mod.ESCAPE_SAFE_CODES
+                relax = (sdf_mod.extension_relax()
+                         if int(code) >= 7 else 1.0)
                 if accept_first and SHADOW_INLINE:
                     hit, t = _march_sdf_inline(
                         distance_fn, o_loc, d_loc, gate, t_hi,
                         sscale_ref[g, 0], cull_backface=cull_g,
                         max_steps=budget, t_start=t_lo, escape_bound=esc,
+                        relax=relax,
                     )
                     capped = hit & False
                 else:
@@ -888,6 +976,7 @@ def _traverse_tile(
                         distance_fn, o_loc, d_loc, gate, t_hi,
                         sscale_ref[g, 0], march_scratch, cull_backface=cull_g,
                         max_steps=budget, t_start=t_lo, escape_bound=esc,
+                        relax=relax,
                     )
                 if dirty_ref is not None and budget < step_budgets[g]:
                     dirty_ref[:] = dirty_ref[:] | (
@@ -950,7 +1039,53 @@ def _traverse_tile(
                     ny_ref[:] = jnp.where(closer, n_world[1], ny_ref[:])
                     nz_ref[:] = jnp.where(closer, n_world[2], nz_ref[:])
 
-        pl.when(jnp.any(gate))(process)
+        process()
+
+    def handle_geometry(g, kind, code):
+        gate, tmin_g, tmax_g = geometry_gate(g)
+        pl.when(jnp.any(gate))(
+            functools.partial(geometry_body, g, kind, code, gate, tmin_g,
+                              tmax_g)
+        )
+
+    def handle_cheap_run(members):
+        # Consecutive closed-form geometries share ONE activity branch
+        # (see _CHEAP_KINDS). Gates are evaluated against the run-entry
+        # best_t; the per-lane `closer` reduction inside each body reads
+        # the fresh best_t, so the stale gate only admits extra lanes that
+        # then lose the reduction — result-identical to the per-geometry
+        # branches in the same order.
+        infos = [(g,) + geometry_gate(g) for g in members]
+        union = infos[0][1]
+        for _, gate, _, _ in infos[1:]:
+            union = union | gate
+
+        def process_run():
+            for g, gate, tmin_g, tmax_g in infos:
+                kind, code = geoms[g]
+                geometry_body(g, kind, code, gate, tmin_g, tmax_g)
+
+        pl.when(jnp.any(union))(process_run)
+
+    def emit_sequence(seq):
+        batch = _batch_cheap()
+        run = []
+
+        def flush():
+            if len(run) == 1:
+                handle_geometry(run[0], *geoms[run[0]])
+            elif run:
+                handle_cheap_run(tuple(run))
+            run.clear()
+
+        for g in seq:
+            kind, code = geoms[g]
+            if batch and kind in _CHEAP_KINDS:
+                run.append(g)
+            else:
+                flush()
+                handle_geometry(g, kind, code)
+        flush()
 
     g_count = len(geoms)
     if order is None:
@@ -960,9 +1095,7 @@ def _traverse_tile(
         # Flat traversal: one implicit cluster needs no extra gate.
         # Processing near geometries first (layout.traversal_order) lets
         # the shrinking best_t reject far gates before their marches.
-        for g in order:
-            kind, code = geoms[g]
-            handle_geometry(g, kind, code)
+        emit_sequence(order)
     else:
         # Two-level traversal (accel/bvh.py): one slab test against the
         # cluster's merged AABB gates ALL member geometry — a tile that
@@ -987,9 +1120,7 @@ def _traverse_tile(
             )
 
             def process_cluster(members=members):
-                for g in members:
-                    kind, code = geoms[g]
-                    handle_geometry(g, kind, code)
+                emit_sequence(members)
 
             pl.when(jnp.any(gate_c))(process_cluster)
 
@@ -1173,8 +1304,9 @@ def scene_closest_tiles(
             tuple(tri_offsets) if tri_rows is not None else None,
         )
 
-    # March-state scratch (t, steps, done, paused, resume, t_hit) — see
-    # _march_sdf. Shared across all geometries of a tile sequentially.
+    # March-state scratch (t, steps, done, paused, resume, t_hit, plus the
+    # relax carries rprev/omega-on) — see _march_sdf. Shared across all
+    # geometries of a tile sequentially.
     march_scratch = [
         pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.float32),
         pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
@@ -1182,6 +1314,8 @@ def scene_closest_tiles(
         pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
         pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
         pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.float32),
+        pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.float32),
+        pltpu.VMEM((TILE_ROWS, TILE_COLS), jnp.int32),
     ]
 
     if not two_phase:

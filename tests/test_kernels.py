@@ -126,3 +126,43 @@ class TestTileKernelInterpret:
         # - 0.15 > 0 at center... the center column passes through the
         # hole) — just require the kernel to be finite & consistent.
         assert np.isfinite(np.asarray(t)[np.asarray(hit)]).all()
+
+
+def test_relaxed_kernel_matches_relaxed_xla():
+    """The in-kernel over-relaxed march (megakernel relax=...) implements
+    the same Keinert-style algorithm as sdf.sphere_trace(relax=...): same
+    overshoot test, same backstep, same retire-on-unrelaxed-reach. On the
+    mandelbulb (the production user) the two paths must agree like the
+    plain marchers do."""
+    from gpuraytracer_tpu.geometry.fractal import ExtendedSignedDistancePrimitive
+
+    H, W = 16, 128
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-1.2, 1.2, H), jnp.linspace(-1.2, 1.2, W), indexing="ij"
+    )
+    o = jnp.stack([xs, ys, jnp.full_like(xs, -3.0)], axis=-1)
+    d = jnp.zeros_like(o).at[..., 2].set(1.0)
+    gate = jnp.ones((H, W), dtype=bool)
+    tmax = jnp.full((H, W), 1e4, dtype=jnp.float32)
+    code = int(ExtendedSignedDistancePrimitive.MANDELBULB)
+    hit_p, t_p, _ = map(
+        np.asarray,
+        megakernel.sphere_trace_tiles(
+            o, d, gate, tmax, 1.0, prim_code=code, cull_backface=False,
+            relax=1.6, interpret=True,
+        ),
+    )
+    fn = sdf.DISTANCE_FUNCTIONS[code]
+    hit_x, t_x, _ = map(
+        np.asarray,
+        jax.jit(
+            lambda o, d, g, tm: sdf.sphere_trace(
+                o, d, fn, step_scale=1.0, t_max=tm, cull_backface=False,
+                active=g, escape_bound=False, relax=1.6,
+            )
+        )(o, d, gate, tmax),
+    )
+    assert (hit_p == hit_x).mean() > 0.999
+    m = hit_p & hit_x
+    assert m.any()
+    np.testing.assert_allclose(t_p[m], t_x[m], atol=1e-4)

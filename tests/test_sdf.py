@@ -194,3 +194,95 @@ def test_escape_cone_bound_sound():
         d = np.asarray(sdf.DISTANCE_FUNCTIONS[code](pts))  # AABB-windowed)
         assert (d >= lower - 1e-3).all(), (
             code, float((d - lower).min()))
+
+
+# ---------------------------------------------------------------------------
+# Over-relaxed sphere tracing (Keinert 2014 — sdf.extension_relax).
+# Extension DE fractals march with omega > 1; the overshoot test (disjoint
+# consecutive safety spheres) must catch every skipped crossing, so the
+# relaxed march finds the same surfaces as the plain one.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("distance_fn", "relax", "cull_backface")
+)
+def _trace_relax(o, d, distance_fn, relax, cull_backface=True):
+    return sdf.sphere_trace(
+        o, d, distance_fn, step_scale=1.0, t_max=TMAX,
+        cull_backface=cull_backface, escape_bound=False, relax=relax,
+    )
+
+
+class TestOverRelaxedMarch:
+    def test_relaxed_sphere_exact(self):
+        # A smooth true SDF: the relaxed march must land on the same
+        # surface point as the plain one (crossing acceptance uses the
+        # identical threshold once omega turns off near the surface).
+        o, d = _ray((0, 0, -5), (0, 0, 1))
+        hit, t, n = _trace_relax(o, d, _UNIT_SPHERE, relax=1.6)
+        assert bool(hit[0])
+        assert float(t[0]) == pytest.approx(4.0, abs=2e-3)
+        np.testing.assert_allclose(np.asarray(n[0]), [0, 0, -1], atol=1e-2)
+
+    def test_relaxed_miss_escapes(self):
+        o, d = _ray((0, 5, -5), (0, 0, 1))
+        hit, t, _ = _trace_relax(o, d, _UNIT_SPHERE, relax=1.6)
+        assert not bool(hit[0])
+
+    def test_relaxed_grazing_rays_no_missed_hits(self):
+        # Grazing fan over the unit sphere: the overshoot detector must
+        # repair every lane the relaxed step carries past the surface.
+        n = 512
+        ys = np.linspace(-1.3, 1.3, n, dtype=np.float32)
+        o = jnp.asarray(np.stack([np.zeros(n), ys, np.full(n, -5.0)], -1),
+                        dtype=jnp.float32)
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                             (n, 3))
+        hp, tp, _ = _trace_relax(o, d, _UNIT_SPHERE, relax=1.0)
+        hr, tr, _ = _trace_relax(o, d, _UNIT_SPHERE, relax=1.6)
+        hp, tp, hr, tr = map(np.asarray, (hp, tp, hr, tr))
+        assert (hp == hr).all()
+        m = hp
+        np.testing.assert_allclose(tr[m], tp[m], atol=5e-3)
+
+    def test_relaxed_matches_plain_on_extension_fractal(self):
+        # Mandelbulb DE (code 7, the production user of relaxation): DE
+        # fields underestimate distance, so the disjoint-spheres test is
+        # conservative; hit sets must agree except at knife-edge
+        # threshold crossings.
+        from gpuraytracer_tpu.geometry.fractal import (
+            ExtendedSignedDistancePrimitive,
+        )
+
+        code = int(ExtendedSignedDistancePrimitive.MANDELBULB)
+        fn = sdf.DISTANCE_FUNCTIONS[code]
+        rng = np.random.default_rng(7)
+        n = 2048
+        o_np = rng.normal(size=(n, 3)).astype(np.float32)
+        o_np *= 3.0 / np.linalg.norm(o_np, axis=-1, keepdims=True)
+        aim = rng.uniform(-0.6, 0.6, size=(n, 3)).astype(np.float32)
+        d_np = aim - o_np
+        d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+        o, d = jnp.asarray(o_np), jnp.asarray(d_np)
+        hp, tp, _ = _trace_relax(o, d, fn, relax=1.0, cull_backface=False)
+        hr, tr, _ = _trace_relax(o, d, fn, relax=1.6, cull_backface=False)
+        hp, tp, hr, tr = map(np.asarray, (hp, tp, hr, tr))
+        agree = hp == hr
+        assert agree.mean() > 0.99, float(agree.mean())
+        m = agree & hp
+        assert m.any()
+        close = np.abs(tr[m] - tp[m]) <= 1e-2
+        assert close.mean() > 0.99, float(close.mean())
+
+
+def test_extension_relax_knob(monkeypatch):
+    monkeypatch.delenv("GPURT_RELAX", raising=False)
+    assert sdf.extension_relax() == sdf.RELAX_OMEGA
+    monkeypatch.setenv("GPURT_RELAX", "1.4")
+    assert sdf.extension_relax() == 1.4
+    # <= 1 and junk disable relaxation rather than erroring.
+    monkeypatch.setenv("GPURT_RELAX", "0.5")
+    assert sdf.extension_relax() == 1.0
+    monkeypatch.setenv("GPURT_RELAX", "nope")
+    assert sdf.extension_relax() == sdf.RELAX_OMEGA
