@@ -24,16 +24,29 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
-# Scenes at or below this many instances skip clustering: a handful of
-# per-geometry slab gates is cheaper than any hierarchy (the builtin
-# scene's 10 instances stay on the flat path, like the reference's
-# 2-instance TLAS).
+# Closed-form scenes at or below this many instances skip clustering: a
+# handful of per-geometry slab gates is cheaper than any hierarchy
+# (measured: the 16-instance analytic grid is FASTER flat — 20.6 ms vs
+# 21.1 clustered — because its tiles see most instances anyway and the
+# batched gates are near-free).
 FLAT_THRESHOLD = 16
+
+# March-kind instances (SDF sphere traces, metaball interval marches) are
+# a different economy: every gated-OUT march saves a whole while-loop, so
+# clustering pays at much smaller counts. Measured on the builtin scene
+# (8 march instances of 10): leaf-4 clusters 55.05 ms vs 57.3 flat at
+# 1080p. Below this many march instances the flat gates win.
+MARCH_FLAT_THRESHOLD = 7
 
 # Default leaf width: members of one cluster share a pl.when region, so a
 # tile intersecting the cluster pays all members' gates; 8 keeps that cost
 # near one VPU op-burst while halving 128-instance scenes to 16 slabs.
 DEFAULT_LEAF_SIZE = 8
+
+# Small march-heavy scenes cluster tighter: with ~10 instances a leaf of 4
+# still yields 3 slab gates while letting edge tiles skip whole march
+# groups (the measured builtin win above used this width).
+MARCH_LEAF_SIZE = 4
 
 
 def build_clusters(
@@ -71,5 +84,16 @@ def cluster_aabbs(
     return mins, maxs
 
 
-def should_cluster(num_instances: int) -> bool:
-    return num_instances > FLAT_THRESHOLD
+def should_cluster(num_instances: int, march_kinds: int = 0) -> bool:
+    """Cluster when the instance count clears the closed-form crossover
+    (measured 2.38x at 112 instances, out/bench_bvh.json) OR when enough
+    MARCH instances are present that gating whole groups out pays at small
+    counts (measured builtin 55.05 vs 57.3 ms, see MARCH_FLAT_THRESHOLD)."""
+    return num_instances > FLAT_THRESHOLD or march_kinds > MARCH_FLAT_THRESHOLD
+
+
+def leaf_size_for(num_instances: int) -> int:
+    """Leaf width policy: small (march-heavy) scenes split tighter so edge
+    tiles can skip whole march groups; big scenes keep the wider leaf that
+    amortizes slab tests."""
+    return MARCH_LEAF_SIZE if num_instances <= FLAT_THRESHOLD else DEFAULT_LEAF_SIZE

@@ -122,12 +122,18 @@ class SceneBuilder:
         from gpuraytracer_tpu.accel import bvh
 
         clusters = None
-        if bvh.should_cluster(len(self._instances)):
+        march = sum(
+            1 for s in self._instances
+            if s.kind in (IntersectorKind.SIGNED_DISTANCE,
+                          IntersectorKind.VOLUMETRIC)
+        )
+        if bvh.should_cluster(len(self._instances), march_kinds=march):
             # Two-level bounds hierarchy over the static instance AABBs —
             # the BLAS-build analog, host-side, once per scene.
             clusters = bvh.build_clusters(
                 np.asarray([s.aabb_min for s in self._instances]),
                 np.asarray([s.aabb_max for s in self._instances]),
+                leaf_size=bvh.leaf_size_for(len(self._instances)),
             )
         budgets = None
         if any(s.step_budget is not None for s in self._instances):

@@ -138,3 +138,23 @@ def test_stress_scene_closest_hit_many_instances():
     np.testing.assert_allclose(
         np.asarray(hit.t), 8.0 - 1.5 * y_local, atol=1e-3
     )
+
+
+def test_march_cluster_policy():
+    """Cluster policy (accel/bvh.py): closed-form scenes keep the measured
+    flat threshold (the 16-instance analytic grid is faster flat), while
+    march-heavy scenes cluster at much smaller counts with the tighter
+    march leaf (measured builtin win, 57.3 -> 55.05 ms at 1080p)."""
+    assert not bvh.should_cluster(16, march_kinds=0)
+    assert bvh.should_cluster(17, march_kinds=0)
+    assert not bvh.should_cluster(10, march_kinds=7)
+    assert bvh.should_cluster(10, march_kinds=8)
+    assert bvh.leaf_size_for(10) == bvh.MARCH_LEAF_SIZE
+    assert bvh.leaf_size_for(40) == bvh.DEFAULT_LEAF_SIZE
+
+    from gpuraytracer_tpu.models import builtin
+
+    cl = builtin.LAYOUT.clusters
+    assert cl is not None
+    assert sorted(i for c in cl for i in c) == list(range(10))
+    assert all(len(c) <= bvh.MARCH_LEAF_SIZE for c in cl)

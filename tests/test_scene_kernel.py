@@ -29,7 +29,7 @@ def rays_and_scene():
     return o, d, scene
 
 
-def _run_kernel(o, d, scene):
+def _run_kernel(o, d, scene, **kw):
     arrays = scene.arrays
     layout = scene.layout
     active = jnp.ones((H, W), bool)
@@ -43,7 +43,7 @@ def _run_kernel(o, d, scene):
         (int(k), int(p)) for k, p in zip(layout.kinds, layout.prim_types)
     )
     return scene_kernel.scene_closest_tiles(
-        ob, db, active, t0, *params, geoms=geoms, interpret=True
+        ob, db, active, t0, *params, geoms=geoms, interpret=True, **kw
     )
 
 
@@ -146,3 +146,36 @@ def test_traversal_order_identical(rays_and_scene):
     )
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_builtin_clusters_bit_identical(rays_and_scene):
+    """The builtin scene now clusters by default (8 march instances clear
+    bvh.MARCH_FLAT_THRESHOLD): two-level traversal must be bit-identical
+    to flat — the cluster gate only skips geometry whose merged slab the
+    tile misses, and those could never win the closest reduction."""
+    o, d, scene = rays_and_scene
+    assert scene.layout.clusters is not None
+    flat = _run_kernel(o, d, scene, order=scene.layout.traversal_order)
+    clustered = _run_kernel(
+        o, d, scene, order=scene.layout.traversal_order,
+        clusters=scene.layout.clusters,
+    )
+    for a, b in zip(flat, clustered):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cheap_batching_bit_identical(rays_and_scene, monkeypatch):
+    """GPURT_NO_BATCH_CHEAP: batching consecutive closed-form geometries
+    under one activity branch is result-identical — gates are unchanged,
+    only the pl.when granularity differs."""
+    o, d, scene = rays_and_scene
+    batched = tuple(np.asarray(x) for x in _run_kernel(o, d, scene))
+    monkeypatch.setenv("GPURT_NO_BATCH_CHEAP", "1")
+    jax.clear_caches()  # the env knob is read at trace time
+    try:
+        unbatched = _run_kernel(o, d, scene)
+        for a, b in zip(batched, unbatched):
+            np.testing.assert_array_equal(a, np.asarray(b))
+    finally:
+        monkeypatch.delenv("GPURT_NO_BATCH_CHEAP")
+        jax.clear_caches()
