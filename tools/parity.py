@@ -13,6 +13,11 @@ Metrics per path:
                       threshold crossings at silhouettes flip by last-ulp
                       fma differences; interior pixels must be tight.
   edge_fraction       how much of the image the silhouette mask covers
+  sens_fraction       measured per-pixel chaos mask: pixels whose CPU
+                      render moves > 1e-3 under a 1e-6 camera perturbation
+                      (see sensitivity_mask) — the honest write-off set
+  stable_pct_1e3      fraction of NON-chaotic pixels within the budget —
+                      the primary cross-backend accuracy bar
 
 Writes PARITY_r{N}.json at the repo root. The CPU reference is computed
 in a subprocess (the in-process backend is already initialized).
@@ -34,7 +39,7 @@ sys.path.insert(0, REPO)
 T_ANIM = 0.7
 
 
-def _render_cpu_subprocess(width, height, path):
+def _render_cpu_subprocess(width, height, path, cam_eps=0.0):
     code = f"""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -42,11 +47,20 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", {os.path.join(REPO, ".jax_cache")!r})
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import dataclasses
 import numpy as np
 from gpuraytracer_tpu.models import builtin
 from gpuraytracer_tpu.render import trace
 scene = builtin.build_scene(aspect={width}/{height}, elapsed_time={T_ANIM})
-img = np.asarray(trace.render_frame(scene, {width}, {height}))
+arrays = scene.arrays
+if {cam_eps!r}:
+    c = dataclasses.replace(
+        arrays.constants,
+        camera_position=arrays.constants.camera_position + {cam_eps},
+    )
+    arrays = dataclasses.replace(arrays, constants=c)
+img = np.asarray(trace.render_frame(
+    type(scene)(scene.layout, arrays), {width}, {height}))
 np.save({path!r}, img)
 print("cpu reference done")
 """
@@ -70,13 +84,28 @@ def silhouette_mask(ref, thresh=0.05):
     return (hi - lo) > thresh
 
 
-def compare(img, ref):
+def sensitivity_mask(ref, ref_eps, thresh=1e-3):
+    """True where the CPU render itself moves more than `thresh` under an
+    ulp-scale camera perturbation (1e-6 on a ~10-unit eye position).
+
+    This replaces the blanket geometric silhouette write-off with a
+    MEASURED per-pixel chaos criterion: a pixel whose radiance flips under
+    a last-ulp input change (march-threshold crossings, crawl-lane shadow
+    booleans) cannot be expected to agree across backends whose fma/libm
+    rounding differs by exactly that much; every other pixel has no such
+    excuse and must meet the budget."""
+    import numpy as np
+
+    return np.abs(ref_eps - ref).max(axis=-1) > thresh
+
+
+def compare(img, ref, sens=None):
     import numpy as np
 
     diff = np.abs(img - ref).max(axis=-1)
     edge = silhouette_mask(ref)
     interior = ~edge
-    return {
+    out = {
         "pct_within_1e3": round(float((diff <= 1e-3).mean()) * 100, 3),
         "mean_abs": float(f"{diff.mean():.3e}"),
         "p99_abs": float(f"{np.quantile(diff, 0.99):.3e}"),
@@ -86,6 +115,17 @@ def compare(img, ref):
         "interior_max_abs": float(f"{diff[interior].max():.3e}"),
         "edge_fraction": round(float(edge.mean()) * 100, 2),
     }
+    if sens is not None:
+        stable = ~sens
+        out["sens_fraction"] = round(float(sens.mean()) * 100, 2)
+        out["stable_pct_1e3"] = round(
+            float((diff[stable] <= 1e-3).mean()) * 100, 3
+        )
+        out["stable_p999_abs"] = float(
+            f"{np.quantile(diff[stable], 0.999):.3e}"
+        )
+        out["stable_max_abs"] = float(f"{diff[stable].max():.3e}")
+    return out
 
 
 def main():
@@ -104,6 +144,11 @@ def main():
         print(f"rendering CPU reference {W}x{H} ...", flush=True)
         _render_cpu_subprocess(W, H, ref_path)
     ref = np.load(ref_path)
+    eps_path = os.path.join(REPO, "out", f"parity_cpu_eps_{W}x{H}.npy")
+    if not os.path.exists(eps_path):
+        print(f"rendering perturbed CPU reference {W}x{H} ...", flush=True)
+        _render_cpu_subprocess(W, H, eps_path, cam_eps=1e-6)
+    sens = sensitivity_mask(ref, np.load(eps_path))
 
     import jax
 
@@ -122,7 +167,7 @@ def main():
             type(scene)(scene.layout, a), W, H
         )
     )(scene.arrays))
-    results["pallas" if backend == "tpu" else backend] = compare(img, ref)
+    results["pallas" if backend == "tpu" else backend] = compare(img, ref, sens)
 
     if backend == "tpu":
         # Path 2: pure-XLA wavefront (megakernel disabled).
@@ -133,7 +178,7 @@ def main():
                     type(scene)(scene.layout, a), W, H
                 )
             )(scene.arrays))
-            results["xla"] = compare(img2, ref)
+            results["xla"] = compare(img2, ref, sens)
         finally:
             del os.environ["GPURT_DISABLE_PALLAS"]
 
