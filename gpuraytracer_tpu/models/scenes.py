@@ -164,8 +164,12 @@ def _fractal_builder() -> SceneBuilder:
             # the Mandelbulb estimator converges in far fewer steps than the
             # reference primitives' 512; at 192 the 96x54 render keeps 98.8%
             # of pixels within 1e-3 of the 512-step image (tools note in
-            # DEVNOTES), the rest are silhouette hit/miss flips.
-            step_budget=192,
+            # DEVNOTES), the rest are silhouette hit/miss flips. The
+            # over-relaxed march (sdf.extension_relax) reaches the same
+            # depth in ~omega-fold fewer steps: at 128 the relaxed render
+            # keeps 99.46% within 1e-3 of the relaxed 192-step image
+            # (budget sweep, DEVNOTES round-3 session 2).
+            step_budget=128,
         )
     )
     jl_min, jl_max = grid_cell_aabb(3, 2, (4, 4, 4))
@@ -178,7 +182,7 @@ def _fractal_builder() -> SceneBuilder:
             material=Material(YELLOW, 0.0, 1.0, 0.4, 10.0, 0.6),
             scale=(2.0, 2.0, 2.0),
             rotates=True,
-            step_budget=192,
+            step_budget=128,
         )
     )
     # A chromium mirror sphere cluster for the "reflections" requirement.
