@@ -16,6 +16,20 @@ flip relative-threshold march crossings at silhouettes and crawl-lane
 shadow booleans. The bars pin that cross-backend envelope: the fused
 path must keep >=89% of all pixels and >=95% of non-silhouette pixels
 within the 1e-3 radiance budget.
+
+Round-3 adds a MEASURED chaos criterion (tools/parity.py
+sensitivity_mask): pixels whose CPU render moves > 1e-3 under a 1e-6
+camera perturbation (14.78% of the image at 640x360 — less than half
+the old 37.75% geometric silhouette write-off) are demonstrably
+hypersensitive to last-ulp input changes and cannot be expected to agree
+across backends whose rounding differs by exactly that much. Over the
+remaining 85%, the fused path measures 96.97% within 1e-3
+(PARITY_r03.json stable_pct_1e3); the bar pins that with margin. The
+mask is a single-direction probe, so it under-detects chaos (a pixel
+can be stable along the probed direction yet chaotic along others) —
+residual stable-pixel outliers (stable_max_abs 1.6) are knife-edge
+crossings the probe missed, which is why the bar is a percentage, not a
+max.
 """
 
 import glob
@@ -40,6 +54,11 @@ INTERIOR_BAR = 95.0
 XLA_PCT_BAR = 78.0
 XLA_INTERIOR_BAR = 90.0
 
+# Accuracy over measured-NON-chaotic pixels (see module docstring);
+# achieved 96.97 / 88.73 in PARITY_r03.json.
+STABLE_BAR = 95.0
+XLA_STABLE_BAR = 86.0
+
 
 def _latest_parity_artifact():
     paths = sorted(glob.glob(os.path.join(REPO, "PARITY*.json")))
@@ -57,12 +76,16 @@ def test_parity_artifact_meets_bars():
     p = results["pallas"]
     assert p["pct_within_1e3"] >= PCT_BAR, p
     assert p["interior_pct_1e3"] >= INTERIOR_BAR, p
+    if "stable_pct_1e3" in p:
+        assert p["stable_pct_1e3"] >= STABLE_BAR, p
     # The artifact must cover a real resolution, not a thumbnail.
     assert results["width"] * results["height"] >= 320 * 180
     if "xla" in results:
         x = results["xla"]
         assert x["pct_within_1e3"] >= XLA_PCT_BAR, x
         assert x["interior_pct_1e3"] >= XLA_INTERIOR_BAR, x
+        if "stable_pct_1e3" in x:
+            assert x["stable_pct_1e3"] >= XLA_STABLE_BAR, x
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
