@@ -417,6 +417,29 @@ def extension_relax() -> float:
     return v if v > 1.0 else 1.0
 
 
+def reference_relax() -> float:
+    """Opt-in over-relaxation for the REFERENCE primitives (codes 0-6).
+
+    Default 1.0 (off): the default path keeps the reference's exact step
+    sequence (SignedDistancePrimitives.hlsli:287-319) so march crossings
+    stay bit-aligned with the CPU/XLA stand-in. Setting GPURT_RELAX_REF
+    (e.g. 1.6) enables Keinert over-relaxation for them too — the same
+    back-step-on-disjoint-spheres scheme as extension_relax, sound for
+    the same reason, but hit t's shift within the crossing-threshold
+    scale, so silhouette pixels can move. Profiling / opt-in only."""
+    import os
+
+    try:
+        v = float(os.environ.get("GPURT_RELAX_REF", "1.0"))
+    except ValueError:
+        return 1.0
+    return v if v > 1.0 else 1.0
+
+
+def relax_for_code(code: int) -> float:
+    return extension_relax() if int(code) >= 7 else reference_relax()
+
+
 def sphere_trace(
     origins,
     directions,

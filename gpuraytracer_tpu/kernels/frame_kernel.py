@@ -309,9 +309,26 @@ def _frame_kernel(
             mat_ref, geometry_id, num_materials
         )
 
+        # --- Phong geometry terms (hoisted: they decide shadow necessity)
+        incident = _normalize_exact(hit_pos - light)
+        kd = jnp.clip(-incident.dot(n), 0.0, 1.0)
+        refl_l = _normalize_exact(_reflect(incident, n))
+        view = _normalize_exact(V3(-d.x, -d.y, -d.z))
+        ks = jnp.power(jnp.clip(refl_l.dot(view), 0.0, 1.0), spec_pow)
+
         # --- shadow occlusion (accept-first) -----------------------------
         sd = _normalize_exact(light - hit_pos)
         shadow_active = active & hit & trace_shadow
+        # Exact shadow-necessity gate: shadow_factor scales only the
+        # diffuse term (zero when kd == 0) and zeroes the specular term
+        # (zero when ks == 0 or spec_coef == 0) — Raytracing.hlsl:50-80.
+        # Lanes where both terms are exactly zero render identically lit
+        # or shadowed, so skipping their occlusion query is result-exact.
+        # This retires e.g. object undersides seen in plane reflections
+        # (kd = 0 against the high light) before their self-origin crawl
+        # marches start.
+        shadow_needed = (kd > 0.0) | ((spec_coef * ks) > 0.0)
+        shadow_active = shadow_active & shadow_needed
         hit_p2, _ = _plane_test(hit_pos, sd, cvec_ref, RAY_TMAX)
         hit_p2 = hit_p2 & shadow_active
         t0s = jnp.where(hit_p2, 0.0, RAY_TMAX)
@@ -350,11 +367,7 @@ def _frame_kernel(
         # Both shadow variants are computed; in defer mode the final pick
         # happens in the XLA recomposition (render_frame_deferred) once
         # the repair queue resolves the capped occlusion queries.
-        incident = _normalize_exact(hit_pos - light)
-        kd = jnp.clip(-incident.dot(n), 0.0, 1.0)
-        refl_l = _normalize_exact(_reflect(incident, n))
-        view = _normalize_exact(V3(-d.x, -d.y, -d.z))
-        ks = jnp.power(jnp.clip(refl_l.dot(view), 0.0, 1.0), spec_pow)
+        # (kd / ks hoisted above the occlusion query — shadow necessity.)
         ao = 1.0 - jnp.clip(-n.y, 0.0, 1.0)
         ambient = tuple(
             albedo[c] * ((amb[c] - 0.1) + ao * (amb[c] - (amb[c] - 0.1)))
@@ -409,7 +422,17 @@ def _frame_kernel(
             for cc, twc, bc in zip((c0, c1, c2, c3), tw, base)
         )
         tw_out = tuple(twc * mc for twc, mc in zip(tw, mult))
-        active_out = active & reflective
+        # Exact dead-throughput kill: a lane whose outgoing throughput is
+        # exactly zero on every channel (fog saturated to 1.0 in f32 at
+        # the horizon, a checker factor of exactly 0, or a zero Fresnel
+        # product) adds where(active, 0 * base, 0) == +0.0 at every later
+        # level — deactivating it is result-exact and lets bounce-level
+        # tile gates retire whole tiles.
+        tw_live = (
+            (tw_out[0] != 0.0) | (tw_out[1] != 0.0)
+            | (tw_out[2] != 0.0) | (tw_out[3] != 0.0)
+        )
+        active_out = active & reflective & tw_live
         d_out = _reflect(d, n)
 
         if defer_shadow:

@@ -59,8 +59,11 @@ PHASE_BUDGET = 64
 # Micro-steps per outer while iteration in the guarded marchers. Smaller
 # unrolls check done/paused more often (finer convoy granularity, faster
 # crawl-resume cadence) at the cost of more while-loop iterations;
-# module-level so profiling tools can sweep them.
-UNROLL_SDF = 12
+# module-level so profiling tools can sweep them. Round-3 sweep with the
+# cycle-retirement marcher + shadow-necessity gates (1080p builtin device
+# slopes): 6 -> 47.2, 8 -> 39.4, 12 -> 42.5, 16 -> 42.3 ms; 12 was the
+# round-2 optimum, 8 wins once the crawl tail retires early.
+UNROLL_SDF = 8
 UNROLL_MB = 16
 
 # March convoy granularity: the march while-loops run independently on
@@ -70,6 +73,16 @@ UNROLL_MB = 16
 # whole tile; 2 = (8, 128) blocks (the native VPU width). Result-exact
 # (marches are per-lane independent).
 MARCH_HALVES = 1
+
+# Straggler tail phase: when at most TAIL_THRESH lanes of a tile are still
+# marching, switch from the UNROLL_SDF-step outer iterations to
+# TAIL_UNROLL-step ones. Crawl lanes (pause -> invalid check -> resume)
+# advance ~1 step per outer iteration whatever the unroll, so a smaller
+# tail unroll converges the convoy in fewer wasted masked evals
+# (unroll + 4 check evals buy ~1 crawl advance). Result-exact: the unroll
+# is micro-step batching only. 0 disables the tail phase.
+TAIL_UNROLL = 0
+TAIL_THRESH = 48
 
 # Occlusion (accept-first) traversals may use the INLINE-check marchers
 # (validity evaluated at every micro-step, ~5 distance evals per step):
@@ -95,6 +108,23 @@ _CHEAP_KINDS = (int(IntersectorKind.ANALYTIC), int(IntersectorKind.TRIANGLE))
 
 def _batch_cheap() -> bool:
     return not os.environ.get("GPURT_NO_BATCH_CHEAP")
+
+
+# Cap on how many closed-form geometries share one activity branch. A
+# whole-scene batch pays every member's body when any lane needs any
+# member; smaller runs trade extra Mosaic branches for tighter gating
+# (profiling knob; 0 = unlimited).
+CHEAP_RUN_MAX = 0
+
+# Profiling knob (GPURT_CHECK_DIRECTIONAL): the pause-check's facing test
+# via a 2-eval directional difference f(p + h*d) - f(p) instead of the
+# 4-eval tetrahedral normal + normalize. sign(directional derivative) ==
+# sign(dot(d, n)) mathematically, but the two float approximations can
+# disagree on near-tangent crossings, so this is NOT bit-aligned with the
+# reference's IsAValidHit (Raytracing.hlsl) — measurement only unless the
+# win justifies a parity re-ratchet.
+def _check_directional() -> bool:
+    return bool(os.environ.get("GPURT_CHECK_DIRECTIONAL"))
 
 
 def _split_v3(v: V3, h: int, n: int) -> V3:
@@ -222,6 +252,10 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
     if relaxed:
         rprev_ref[:] = zero
         oon_ref[:] = izero + 1
+    else:
+        # Cycle detection (non-relaxed marches): rprev doubles as the
+        # lane's previous t. -1 never matches a real march t (t >= 0).
+        rprev_ref[:] = zero - 1.0
 
     def check():
         # Validity check for paused lanes (Raytracing.hlsl IsAValidHit).
@@ -230,8 +264,15 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
         t = t_ref[:]
         paused = paused_ref[:] != 0
         pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
-        n = _normal_at(distance_fn, pos)
-        facing_ok = (d.dot(n) <= 0.0) if cull_backface else (t == t)
+        if not cull_backface:
+            facing_ok = t == t
+        elif _check_directional():
+            h = jnp.float32(1e-4)
+            ahead = V3(pos.x + h * d.x, pos.y + h * d.y, pos.z + h * d.z)
+            facing_ok = distance_fn(ahead) - distance_fn(pos) <= 0.0
+        else:
+            n = _normal_at(distance_fn, pos)
+            facing_ok = d.dot(n) <= 0.0
         in_range = (t >= 0.0) & (t <= t_max)
         valid = paused & facing_ok & in_range
         thit_ref[:] = jnp.where(valid, t, thit_ref[:])
@@ -239,10 +280,8 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
         resume_ref[:] = (paused & ~valid).astype(jnp.int32)
         paused_ref[:] = izero
 
-    def cond(carry):
-        return carry
-
-    def body(carry):
+    def make_body(n_micro, counting):
+      def body(carry):
         pl.when(jnp.any(paused_ref[:] != 0))(check)
         # Refs touch VMEM once per outer iteration; the unrolled
         # micro-steps run on register values (10 fewer vector memory ops
@@ -255,7 +294,9 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
         if relaxed:
             rprev = rprev_ref[:]
             oon = oon_ref[:] != 0
-        for _ in range(unroll):
+        else:
+            t_prev = rprev_ref[:]
+        for _ in range(n_micro):
             marching = ~done & ~paused
             pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
             dist = distance_fn(pos)
@@ -288,8 +329,22 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
                 oon = oon & ~fail & ~adv_resume
                 rprev = jnp.where(moved, dist, rprev)
             else:
-                t = jnp.where(moved, t + step_scale * dist, t)
-                done = done | (moved & (t > t_escape))
+                t_new = t + step_scale * dist
+                # Exact cycle retirement: the march is a deterministic
+                # function of t alone, so an advance that lands on a
+                # float-identical t (sub-ulp step — the reference's
+                # `t += stepScale * distance` no-op) or returns to the
+                # previous t (the negative-distance oscillation pair
+                # after an invalid back-face crossing) repeats forever;
+                # the reference burns its remaining 512 iterations on it
+                # and returns false (SignedDistancePrimitives.hlsli:
+                # 294-319). Retiring the lane as a miss NOW is
+                # result-identical and stops one oscillating lane from
+                # convoying its whole tile to the step budget.
+                stuck = moved & ((t_new == t) | (t_new == t_prev))
+                t_prev = jnp.where(moved, t, t_prev)
+                t = jnp.where(moved, t_new, t)
+                done = done | (moved & (t > t_escape)) | stuck
             paused = paused | newly_paused
             resume = resume & ~adv_resume
         t_ref[:] = t
@@ -300,11 +355,32 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
         if relaxed:
             rprev_ref[:] = rprev
             oon_ref[:] = oon.astype(jnp.int32)
+        else:
+            rprev_ref[:] = t_prev
         # Paused lanes always have done == 0, so lanes that paused on the
         # last micro-step keep the loop alive for their validity check.
+        if counting:
+            return jnp.sum((~done).astype(jnp.int32))
         return jnp.any(~done)
 
-    jax.lax.while_loop(cond, body, jnp.any(done_ref[:] == 0))
+      return body
+
+    tail = TAIL_UNROLL
+    if tail and tail < unroll:
+        # Straggler tail: run full-unroll iterations while more than
+        # TAIL_THRESH lanes march, then finish the convoy with short
+        # iterations (see TAIL_UNROLL). Identical micro-step semantics.
+        jax.lax.while_loop(
+            lambda c: c > TAIL_THRESH, make_body(unroll, True),
+            jnp.sum((done_ref[:] == 0).astype(jnp.int32)),
+        )
+        jax.lax.while_loop(
+            lambda c: c, make_body(tail, False), jnp.any(done_ref[:] == 0)
+        )
+    else:
+        jax.lax.while_loop(
+            lambda c: c, make_body(unroll, False), jnp.any(done_ref[:] == 0)
+        )
     t_hit = thit_ref[:]
     # The winning hit's normal is recomputed in the kernel epilogue, only
     # for tiles this geometry actually won (pl.when) — computing it here
@@ -464,6 +540,8 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
     state0 = (t0, izero, jnp.where(gate, izero, izero + 1), zero + inf)
     if relaxed:
         state0 = state0 + (zero, izero + 1)
+    else:
+        state0 = state0 + (zero - 1.0,)  # t_prev for cycle retirement
 
     def cond(state):
         return jnp.any(state[2] == 0)
@@ -473,7 +551,7 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
             t, steps, done_i, t_hit, rprev, oon_i = state
             oon = oon_i != 0
         else:
-            t, steps, done_i, t_hit = state
+            t, steps, done_i, t_hit, t_prev = state
         done = done_i != 0
         for _ in range(unroll):
             marching = ~done
@@ -508,13 +586,19 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
                 steps = steps + jnp.where(marching, 1, 0)
                 done = done | (marching & (steps >= max_steps))
             else:
-                t = jnp.where(move, t + step_scale * dist, t)
+                t_new = t + step_scale * dist
+                # Exact cycle retirement — see _march_sdf_part.
+                stuck = move & ((t_new == t) | (t_new == t_prev))
+                t_prev = jnp.where(move, t, t_prev)
+                t = jnp.where(move, t_new, t)
                 steps = steps + jnp.where(marching, 1, 0)
-                done = done | (marching & ((steps >= max_steps) | (t > t_escape)))
+                done = done | stuck | (
+                    marching & ((steps >= max_steps) | (t > t_escape))
+                )
         if relaxed:
             return (t, steps, done.astype(jnp.int32), t_hit, rprev,
                     oon.astype(jnp.int32))
-        return t, steps, done.astype(jnp.int32), t_hit
+        return t, steps, done.astype(jnp.int32), t_hit, t_prev
 
     t_hit = jax.lax.while_loop(cond, body, state0)[3]
     return t_hit < inf, t_hit
@@ -668,8 +752,7 @@ def _finish_tile(
                     t_hi, sscale_ref[g, 0], cull_backface=cull_g,
                     max_steps=step_budgets[g], t_start=t_lo,
                     escape_bound=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
-                    relax=(sdf_mod.extension_relax()
-                           if int(code) >= 7 else 1.0),
+                    relax=sdf_mod.relax_for_code(int(code)),
                 )
             else:
                 balls = tuple(
@@ -961,8 +1044,7 @@ def _traverse_tile(
                 from gpuraytracer_tpu.geometry import sdf as sdf_mod
 
                 esc = int(code) in sdf_mod.ESCAPE_SAFE_CODES
-                relax = (sdf_mod.extension_relax()
-                         if int(code) >= 7 else 1.0)
+                relax = sdf_mod.relax_for_code(int(code))
                 if accept_first and SHADOW_INLINE:
                     hit, t = _march_sdf_inline(
                         distance_fn, o_loc, d_loc, gate, t_hi,
@@ -1082,6 +1164,8 @@ def _traverse_tile(
             kind, code = geoms[g]
             if batch and kind in _CHEAP_KINDS:
                 run.append(g)
+                if CHEAP_RUN_MAX and len(run) >= CHEAP_RUN_MAX:
+                    flush()
             else:
                 flush()
                 handle_geometry(g, kind, code)
@@ -1090,6 +1174,24 @@ def _traverse_tile(
     g_count = len(geoms)
     if order is None:
         order = tuple(range(g_count))
+    # Traversal order is free to choose: the closest-hit reduction is a
+    # min over all candidates (pruning by the running best_t never
+    # discards the winner), and occlusion queries reduce to "any valid
+    # hit exists" — both order-independent in their RESULT. So order
+    # purely for cost: closed-form geometries first (their bodies cost
+    # about as much as their gates, and their hits tighten best_t /
+    # zero the accept-first bound before any march while-loop starts),
+    # then the interval-bounded metaball march, then the sphere-traced
+    # SDFs. Stable within each class, preserving the near-first order
+    # between marchers.
+    cost_class = {
+        int(IntersectorKind.ANALYTIC): 0,
+        int(IntersectorKind.TRIANGLE): 0,
+        int(IntersectorKind.VOLUMETRIC): 1,
+        int(IntersectorKind.SIGNED_DISTANCE): 2,
+    }
+    if not os.environ.get("GPURT_NO_CHEAP_FIRST"):
+        order = tuple(sorted(order, key=lambda g: cost_class[geoms[g][0]]))
     rank = {g: i for i, g in enumerate(order)}
     if len(clusters) == 1:
         # Flat traversal: one implicit cluster needs no extra gate.

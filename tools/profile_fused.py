@@ -46,6 +46,12 @@ def main():
                    help="inline-check marchers for occlusion traversals")
     p.add_argument("--no-shadows", action="store_true",
                    help="skip occlusion traversals (cost attribution)")
+    p.add_argument("--tail", type=int, default=0,
+                   help="straggler tail unroll (TAIL_UNROLL; 0 = off)")
+    p.add_argument("--tail-thresh", type=int, default=0,
+                   help="tail-phase lane threshold (TAIL_THRESH)")
+    p.add_argument("--cheap-run", type=int, default=0,
+                   help="cap closed-form batch runs (CHEAP_RUN_MAX)")
     args = p.parse_args()
 
     import jax
@@ -77,6 +83,12 @@ def main():
     if args.no_shadows:
         from gpuraytracer_tpu.kernels import frame_kernel
         frame_kernel.PROFILE_NO_SHADOWS = True
+    if args.tail:
+        scene_kernel.TAIL_UNROLL = args.tail
+    if args.tail_thresh:
+        scene_kernel.TAIL_THRESH = args.tail_thresh
+    if args.cheap_run:
+        scene_kernel.CHEAP_RUN_MAX = args.cheap_run
 
     from gpuraytracer_tpu.accel.instances import Scene
     from gpuraytracer_tpu.models import builtin
