@@ -33,8 +33,8 @@ def _setup_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def run_bench(width: int = 1920, height: int = 1080, frames: int = 8, warmup: int = 2,
-              chain: int = 4):
+def run_bench(width: int = 1920, height: int = 1080, frames: int = 16, warmup: int = 2,
+              chain: int = 8):
     import jax
     import numpy as np
 
@@ -115,10 +115,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--frames", type=int, default=16)
     p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--chain", type=int, default=4,
-                   help="animated frames per dispatch window")
+    p.add_argument("--chain", type=int, default=8,
+                   help="animated frames per dispatch window (8 amortizes"
+                        " this dev setup's ~25 ms per-dispatch tunnel floor"
+                        " the way the reference's triple-buffered fence"
+                        " pacing amortizes Present latency)")
     args = p.parse_args()
     result = run_bench(args.width, args.height, args.frames, args.warmup,
                        args.chain)

@@ -31,8 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 from gpuraytracer_tpu.core.types import SDF_HIT_THRESHOLD, SDF_MAX_STEPS
 from gpuraytracer_tpu.kernels.soa import DISTANCE_FUNCTIONS_SOA, V3
 
-TILE_ROWS = 8
-TILE_COLS = 256
+# 128-col tiles keep every vector op in one native (8,128) f32 vreg; see
+# the measured tile-shape sweep note in scene_kernel.py.
+TILE_ROWS = 32
+TILE_COLS = 128
 
 _NORMAL_EPS = 0.5773 * 0.0001
 

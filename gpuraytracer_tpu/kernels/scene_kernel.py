@@ -39,8 +39,43 @@ from gpuraytracer_tpu.core.types import (
 from gpuraytracer_tpu.kernels import soa
 from gpuraytracer_tpu.kernels.soa import V3
 
-TILE_ROWS = 8
-TILE_COLS = 256
+# Tile shape. 128 cols = ONE native (8,128) f32 vreg per op row-group —
+# 256-col tiles split every vector op into two vregs. Round-3 re-sweep
+# with the cycle-retirement marcher (1080p builtin device slope, ms):
+# 8x256 45.1, 16x256 39.4, 16x128 36.0, 32x128 u8 32.5 / u12 31.6,
+# 48x128 57.4, 64x128 55.8-59.9 (VMEM scratch spill), 8x128 54.5 (tile
+# count fixed costs). 32x128 also quarters the per-(tile,geometry) visit
+# count vs 8x256 at equal lane totals. The round-2 8x256 choice was an
+# artifact of the pre-retirement convoy dynamics.
+TILE_ROWS = 32
+TILE_COLS = 128
+
+# Tile policy: extension DE fractals (relaxed marches, AABB-windowed
+# starts, back-face cull off) measured the OPPOSITE tall-tile trend at
+# 1080p — 32x128 47.4, 16x128 25.8, 8x256 31.0, 8x128 39.9 ms. Their
+# per-lane step counts are deep and irregular (power-8 DE fields), so
+# convoy width dominates visit fixed costs; everything else (builtin,
+# SDF showcase, metaballs, grid) prefers 32x128. render entry points call
+# apply_tile_policy per scene; profiling tools that set the tile shape
+# directly switch TILE_AUTO off.
+TILE_AUTO = True
+
+
+def apply_tile_policy(layout) -> None:
+    """Per-scene tile shape (read at trace time by every kernel builder;
+    each scene's kernels compile separately, so scenes can disagree)."""
+    global TILE_ROWS, TILE_COLS
+    if not TILE_AUTO:
+        return
+    from gpuraytracer_tpu.kernels import megakernel
+
+    deep_march = any(
+        int(k) == int(IntersectorKind.SIGNED_DISTANCE) and int(p) >= 7
+        for k, p in zip(layout.kinds, layout.prim_types)
+    )
+    rows = 16 if deep_march else 32
+    TILE_ROWS = megakernel.TILE_ROWS = rows
+    TILE_COLS = megakernel.TILE_COLS = 128
 _NORMAL_EPS = 0.5773 * 0.0001
 _MB_NORMAL_EPS = 0.5773 * 0.00001
 
@@ -59,11 +94,12 @@ PHASE_BUDGET = 64
 # Micro-steps per outer while iteration in the guarded marchers. Smaller
 # unrolls check done/paused more often (finer convoy granularity, faster
 # crawl-resume cadence) at the cost of more while-loop iterations;
-# module-level so profiling tools can sweep them. Round-3 sweep with the
-# cycle-retirement marcher + shadow-necessity gates (1080p builtin device
-# slopes): 6 -> 47.2, 8 -> 39.4, 12 -> 42.5, 16 -> 42.3 ms; 12 was the
-# round-2 optimum, 8 wins once the crawl tail retires early.
-UNROLL_SDF = 8
+# module-level so profiling tools can sweep them. Round-3 sweeps with the
+# cycle-retirement marcher (1080p builtin device slopes): at 8x256 tiles
+# 8/10/12 -> 45.1/43.4/42.5; at the new 32x128 tiles 8/10/12 ->
+# 32.5/~31.6/31.6 (u10's 30.05 slope reading rode an inflated t1; the
+# 4-frame totals rank u12 best). 12 stays the default.
+UNROLL_SDF = 12
 UNROLL_MB = 16
 
 # March convoy granularity: the march while-loops run independently on
@@ -325,7 +361,16 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
                     fail, fail_step,
                     jnp.where(oon & ~adv_resume, relax * plain, plain),
                 )
+                # Sub-ulp cycle retirement, relaxed form: a non-fail
+                # advance that does not change t repeats forever (same
+                # dist next step; the fail predicate with rprev == dist
+                # reduces to dist < 0.6*dist, false for dist > 0, so no
+                # back-step ever fires from a stuck state). Fail lanes
+                # are excluded: their continuation switches to plain
+                # stepping, which can still advance.
+                stuck = moved & ~fail & (t + stepv == t)
                 t = jnp.where(moved, t + stepv, t)
+                done = done | stuck
                 oon = oon & ~fail & ~adv_resume
                 rprev = jnp.where(moved, dist, rprev)
             else:
@@ -580,6 +625,10 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
                     jnp.where(oon & ~invalid_cross, relax * plain, plain),
                 )
                 done = done | (move & (t + plain > t_escape))
+                # Sub-ulp cycle retirement (see _march_sdf_part's
+                # relaxed branch): non-fail advances that leave t
+                # unchanged repeat forever.
+                done = done | (move & ~fail & (t + stepv == t))
                 t = jnp.where(move, t + stepv, t)
                 oon = oon & ~fail & ~invalid_cross
                 rprev = jnp.where(move, dist, rprev)
@@ -1090,17 +1139,23 @@ def _traverse_tile(
                     o_loc, d_loc, best_t, tri_ref, start, count,
                     cull_backface,
                 )
-                n_world = world_normal(n_loc)
+                # Occlusion queries never read normals; skip the
+                # l2b transform + normalize outright.
+                n_world = None if accept_first else world_normal(n_loc)
             elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.AABB):
                 hit, t, n_loc = soa.intersect_hollow_aabb(
                     o_loc, d_loc, 0.0, best_t, cull_backface
                 )
-                n_world = world_normal(n_loc)
+                # Occlusion queries never read normals; skip the
+                # l2b transform + normalize outright.
+                n_world = None if accept_first else world_normal(n_loc)
             elif kind == int(IntersectorKind.ANALYTIC) and code == int(AnalyticPrimitive.SPHERES):
                 hit, t, n_loc = soa.intersect_spheres(
                     o_loc, d_loc, 0.0, best_t, cull_backface
                 )
-                n_world = world_normal(n_loc)
+                # Occlusion queries never read normals; skip the
+                # l2b transform + normalize outright.
+                n_world = None if accept_first else world_normal(n_loc)
             else:
                 raise ValueError(f"unsupported geometry kind={kind} code={code}")
 

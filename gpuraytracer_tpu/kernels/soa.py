@@ -372,12 +372,8 @@ SPHERE_CENTERS = ((-0.3, -0.3, -0.3), (0.1, 0.1, 0.4), (0.35, 0.35, 0.0))
 SPHERE_RADII = (0.6, 0.3, 0.15)
 
 
-def solve_sphere(o: V3, d: V3, cx, cy, cz, radius):
+def _solve_sphere_abc(a, b, c):
     """Stable quadratic; (has, t0, t1) with t0 <= t1 (hlsli:28-60)."""
-    L = V3(o.x - cx, o.y - cy, o.z - cz)
-    a = d.dot(d)
-    b = 2.0 * d.dot(L)
-    c = L.dot(L) - radius * radius
     discr = b * b - 4.0 * a * c
     has = discr >= 0.0
     sq = jnp.sqrt(jnp.maximum(discr, 0.0))
@@ -392,41 +388,53 @@ def solve_sphere(o: V3, d: V3, cx, cy, cz, radius):
     return has, t0, t1
 
 
+def solve_sphere(o: V3, d: V3, cx, cy, cz, radius):
+    """Stable quadratic; (has, t0, t1) with t0 <= t1 (hlsli:28-60)."""
+    L = V3(o.x - cx, o.y - cy, o.z - cz)
+    a = d.dot(d)
+    b = 2.0 * d.dot(L)
+    c = L.dot(L) - radius * radius
+    return _solve_sphere_abc(a, b, c)
+
+
 def intersect_hollow_sphere(o: V3, d: V3, center, radius, t_min, t_max, cull_backface):
     """RaySphereIntersectionTest (hlsli:64-100): prefer t0, fall through to
-    t1. Returns (hit, t, normal V3)."""
+    t1. Returns (hit, t, RAW unnormalized normal V3 = hit_pos - center).
+
+    Cost form: callers normalize once post-instance-transform
+    (scene_kernel world_normal absorbs any positive magnitude), so the
+    facing test uses the sign-identical raw dot
+        d.(p(t) - c) = d.L + t*(d.d) = 0.5*b + t*a
+    — one fma per candidate replaces two full normalizations plus a dot
+    (same accept/reject sign as the reference's normalized test except at
+    exact-tangency rounding knife edges). The normal is computed once from
+    the selected t instead of select-chaining two precomputed normals."""
     cx, cy, cz = center
-    has, t0, t1 = solve_sphere(o, d, cx, cy, cz, radius)
+    L = V3(o.x - cx, o.y - cy, o.z - cz)
+    a = d.dot(d)
+    b = 2.0 * d.dot(L)
+    c = L.dot(L) - radius * radius
+    has, t0, t1 = _solve_sphere_abc(a, b, c)
+    half_b = 0.5 * b
 
-    def normal(t):
-        return V3(
-            o.x + t * d.x - cx, o.y + t * d.y - cy, o.z + t * d.z - cz
-        ).normalized()
-
-    n0 = normal(t0)
-    n1 = normal(t1)
-
-    def valid(t, n):
+    def valid(t):
         in_range = (t >= t_min) & (t <= t_max)
-        facing = (d.dot(n) <= 0.0) if cull_backface else in_range | True
-        return in_range & facing
+        if not cull_backface:
+            return in_range
+        return in_range & ((half_b + t * a) <= 0.0)
 
     t0_before = t0 < t_min
     t1_before = t1 < t_min
-    hit_a = ~t1_before & valid(t1, n1)
-    hit_b0 = valid(t0, n0)
-    hit_b1 = ~hit_b0 & valid(t1, n1)
+    hit_a = ~t1_before & valid(t1)
+    hit_b0 = valid(t0)
+    hit_b1 = ~hit_b0 & valid(t1)
     use_a = t0_before
     # Pure logical ops, not jnp.where on bools — Mosaic cannot legalize the
     # i8->i1 truncation a boolean select lowers to.
     hit = has & ((use_a & hit_a) | (~use_a & (hit_b0 | hit_b1)))
     use_t1 = use_a | hit_b1
     t = jnp.where(use_t1, t1, t0)
-    n = V3(
-        jnp.where(use_t1, n1.x, n0.x),
-        jnp.where(use_t1, n1.y, n0.y),
-        jnp.where(use_t1, n1.z, n0.z),
-    )
+    n = V3(L.x + t * d.x, L.y + t * d.y, L.z + t * d.z)
     return hit, jnp.where(hit, t, jnp.inf), n
 
 

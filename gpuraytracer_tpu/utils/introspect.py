@@ -81,5 +81,8 @@ def describe_backend() -> str:
 
     backend = jax.default_backend()
     if megakernel.pallas_available():
-        return f"backend={backend}; traversal=pallas scene megakernel (8x256 tiles)"
+        from gpuraytracer_tpu.kernels import scene_kernel
+
+        tile = f"{scene_kernel.TILE_ROWS}x{scene_kernel.TILE_COLS}"
+        return f"backend={backend}; traversal=pallas scene megakernel ({tile} tiles)"
     return f"backend={backend}; traversal=XLA wavefront (chunked while loops)"

@@ -93,8 +93,10 @@ def test_compact_uncappable_scene_short_circuits():
 
 def test_compact_overflow_falls_back(scene):
     # Bigger frame so budget_cap=1 produces more dirty lanes than one tile
-    # of queue capacity (at 64x36 every dirty lane fits in one tile).
-    W2, H2 = 96, 72
+    # of queue capacity (at 64x36 every dirty lane fits in one tile; with
+    # 32x128 tiles one tile is 4096 lanes, so the frame must be larger
+    # still — 128x96 caps at ~49% dirty ~= 6k lanes).
+    W2, H2 = 128, 96
     scene2 = builtin.build_scene(aspect=W2 / H2, elapsed_time=T_ANIM)
     smem_args, kw = frame_kernel.pack_frame_params(scene2)
     tile = frame_kernel.scene_kernel.TILE_ROWS * frame_kernel.scene_kernel.TILE_COLS

@@ -1,7 +1,7 @@
 """Prewarm the persistent compile cache for the round-end driver runs.
 
 Compiles (and once executes) the EXACT programs the driver measures:
-  1. bench.py's chained 4-frame 1080p builtin window (TPU) — a fresh
+  1. bench.py's chained 8-frame 1080p builtin window (TPU) — a fresh
      Mosaic compile of the fused frame kernels is minutes; a stale cache
      would make the driver's bench measure compiles, not frames.
   2. __graft_entry__.entry()'s 256x144 render (the compile check).
@@ -31,7 +31,7 @@ def main():
                    help="also prewarm __graft_entry__.entry()")
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--chain", type=int, default=4)
+    p.add_argument("--chain", type=int, default=8)
     args = p.parse_args()
 
     t0 = time.perf_counter()

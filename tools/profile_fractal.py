@@ -32,10 +32,20 @@ def main():
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--tile-rows", type=int, default=0)
+    p.add_argument("--tile-cols", type=int, default=0)
     args = p.parse_args()
 
     if args.relax is not None:
         os.environ["GPURT_RELAX"] = str(args.relax)
+    if args.tile_rows or args.tile_cols:
+        from gpuraytracer_tpu.kernels import megakernel, scene_kernel
+
+        scene_kernel.TILE_AUTO = False
+        if args.tile_rows:
+            scene_kernel.TILE_ROWS = megakernel.TILE_ROWS = args.tile_rows
+        if args.tile_cols:
+            scene_kernel.TILE_COLS = megakernel.TILE_COLS = args.tile_cols
 
     import jax
 

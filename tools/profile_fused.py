@@ -71,8 +71,10 @@ def main():
         scene_kernel.UNROLL_MB = args.unroll_mb
     if args.tile_rows:
         scene_kernel.TILE_ROWS = args.tile_rows
+        scene_kernel.TILE_AUTO = False
     if args.tile_cols:
         scene_kernel.TILE_COLS = args.tile_cols
+        scene_kernel.TILE_AUTO = False
     if args.mb_steps:
         # read at trace time by the marchers
         scene_kernel.METABALL_MAX_STEPS = args.mb_steps

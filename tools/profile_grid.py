@@ -33,10 +33,33 @@ def main():
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--tile-rows", type=int, default=0)
+    p.add_argument("--tile-cols", type=int, default=0)
+    p.add_argument("--cheap-run", type=int, default=0)
+    p.add_argument("--depth", type=int, default=0,
+                   help="override max_depth (cost attribution)")
+    p.add_argument("--no-shadows", action="store_true",
+                   help="skip occlusion traversals (cost attribution)")
     args = p.parse_args()
+
+    if args.no_shadows:
+        from gpuraytracer_tpu.kernels import frame_kernel
+
+        frame_kernel.PROFILE_NO_SHADOWS = True
 
     if args.variant == "nobatch":
         os.environ["GPURT_NO_BATCH_CHEAP"] = "1"
+    if args.tile_rows or args.tile_cols or args.cheap_run:
+        from gpuraytracer_tpu.kernels import megakernel, scene_kernel
+
+        if args.tile_rows:
+            scene_kernel.TILE_ROWS = megakernel.TILE_ROWS = args.tile_rows
+            scene_kernel.TILE_AUTO = False
+        if args.tile_cols:
+            scene_kernel.TILE_COLS = megakernel.TILE_COLS = args.tile_cols
+            scene_kernel.TILE_AUTO = False
+        if args.cheap_run:
+            scene_kernel.CHEAP_RUN_MAX = args.cheap_run
 
     import jax
 
@@ -82,7 +105,7 @@ def main():
                 )
                 ai = dataclasses.replace(ai, constants=ci)
                 img = trace.render_frame(Scene(layout, ai), W, H,
-                                         max_depth=cfg.max_depth)
+                                         max_depth=args.depth or cfg.max_depth)
                 acc = acc + jnp.sum(img)
             return acc
         return f
