@@ -62,6 +62,14 @@ class SceneLayout:
     # definition order. Built once per scene from the static camera eye
     # and BLAS-space AABB centers.
     traversal_order: Tuple[int, ...] | None = None
+    # Optional geometry -> material-slot map (len = num_geometries:
+    # instances then plane). SceneBuilder dedups identical shading
+    # materials so the kernels' material select chains run over UNIQUE
+    # rows — the reference's shader table likewise points many records at
+    # shared root constants (Renderer.cpp:201-250 defines ~11 materials
+    # reused across instances). None = identity (material row g =
+    # geometry g). step_scale stays per-geometry and is NOT deduped.
+    material_ids: Tuple[int, ...] | None = None
 
     @property
     def num_procedural(self) -> int:

@@ -96,10 +96,20 @@ def _plane_test(o: V3, d: V3, cvec_ref, t_max):
     return hit, t
 
 
-def _pick_material(mat_ref, gid, num_materials):
+def _pick_material(mat_ref, gid, num_materials, material_ids=None):
     """Branchless select chain over the SMEM material table — the
     shader-record local-root-argument fetch (render/trace._gather_materials
-    in-kernel)."""
+    in-kernel). With a deduped table (SceneLayout.material_ids) the
+    geometry id maps to its unique slot through a static int chain first
+    (identity entries skipped), so the 8-field chain runs over UNIQUE
+    materials — 16 instances sharing 3 materials cost 3 field selects per
+    field, not 16."""
+    if material_ids is not None:
+        mid = gid * 0
+        for gidx, slot in enumerate(material_ids):
+            if slot != 0:
+                mid = jnp.where(gid == gidx, slot, mid)
+        gid = mid
     fields = []
     for f in range(8):
         out = gid.astype(jnp.float32) * 0.0 + mat_ref[0, f]
@@ -158,6 +168,7 @@ def _frame_kernel(
     height: int,
     plane_gid: int,
     num_materials: int,
+    material_ids: Tuple[int, ...] | None,
     budget_cap,  # None | (closest_cap, shadow_cap) — SDF march caps
     mb_budget_cap,  # None | (closest_cap, shadow_cap) — metaball caps
     emit_dirty: bool,
@@ -306,7 +317,7 @@ def _frame_kernel(
         hit_pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
 
         albedo, refl_coef, diff_coef, spec_coef, spec_pow = _pick_material(
-            mat_ref, geometry_id, num_materials
+            mat_ref, geometry_id, num_materials, material_ids
         )
 
         # --- Phong geometry terms (hoisted: they decide shadow necessity)
@@ -567,7 +578,8 @@ def _frame_scratch(tr, tc):
     jax.jit,
     static_argnames=(
         "geoms", "clusters", "step_budgets", "cull_backface", "order",
-        "max_depth", "width", "height", "plane_gid", "interpret",
+        "max_depth", "width", "height", "plane_gid", "material_ids",
+        "interpret",
         "budget_cap", "mb_budget_cap", "emit_dirty", "local_height",
         "tri_offsets",
     ),
@@ -592,6 +604,7 @@ def render_frame_tiles(
     width: int,
     height: int,
     plane_gid: int,
+    material_ids: Tuple[int, ...] | None = None,
     budget_cap=None,
     mb_budget_cap=None,
     emit_dirty: bool = False,
@@ -631,7 +644,7 @@ def render_frame_tiles(
         _frame_kernel, tuple(geoms), clusters, step_budgets,
         cull_backface, tuple(order) if order is not None else None,
         max_depth, width, height, plane_gid,
-        m, _norm_caps(budget_cap), _norm_caps(mb_budget_cap), emit_dirty,
+        m, material_ids, _norm_caps(budget_cap), _norm_caps(mb_budget_cap), emit_dirty,
         False, False,
         tuple(tri_offsets) if tri_rows is not None else None,
     )
@@ -696,7 +709,8 @@ def compact_enabled() -> bool:
     jax.jit,
     static_argnames=(
         "geoms", "clusters", "step_budgets", "cull_backface", "order",
-        "max_depth", "width", "height", "plane_gid", "interpret",
+        "max_depth", "width", "height", "plane_gid", "material_ids",
+        "interpret",
         "budget_cap", "mb_budget_cap", "cap_lanes", "debug_count",
         "local_height", "tri_offsets",
     ),
@@ -714,6 +728,7 @@ def render_frame_compact(
     width: int,
     height: int,
     plane_gid: int,
+    material_ids: Tuple[int, ...] | None = None,
     budget_cap=None,
     mb_budget_cap=None,
     cap_lanes: int | None = None,
@@ -729,7 +744,8 @@ def render_frame_compact(
     closest or occlusion) hit the cap. Round 2 extracts the dirty lanes'
     raster indices (coherent by construction — silhouette/crawl pixels
     cluster by object in raster order), recomputes those pixels end-to-end
-    at the full reference budgets in dense (8, 256) queue tiles, and
+    at the full reference budgets in dense (TILE_ROWS, TILE_COLS) queue
+    tiles, and
     scatters the colors back.
 
     Bit-identical to the full-budget kernel: a march that resolves within
@@ -801,7 +817,7 @@ def render_frame_compact(
         kernel = functools.partial(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
-            max_depth, width, height, plane_gid, m,
+            max_depth, width, height, plane_gid, m, material_ids,
             _norm_caps(budget_cap), _norm_caps(mb_budget_cap), True, False,
             False,
             tuple(tri_offsets) if tri_rows is not None else None,
@@ -856,7 +872,7 @@ def render_frame_compact(
         kernel = functools.partial(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
-            max_depth, width, height, plane_gid, m,
+            max_depth, width, height, plane_gid, m, material_ids,
             None, None, False, True, False,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
@@ -885,7 +901,7 @@ def render_frame_compact(
         kernel = functools.partial(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
-            max_depth, width, height, plane_gid, m,
+            max_depth, width, height, plane_gid, m, material_ids,
             None, None, False, False, False,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
@@ -957,7 +973,8 @@ SHADOW_CAP = 32
     jax.jit,
     static_argnames=(
         "geoms", "clusters", "step_budgets", "cull_backface", "order",
-        "max_depth", "width", "height", "plane_gid", "interpret",
+        "max_depth", "width", "height", "plane_gid", "material_ids",
+        "interpret",
         "shadow_cap", "mb_shadow_cap", "cap_lanes", "debug_count",
         "local_height", "tri_offsets", "qsort",
     ),
@@ -975,6 +992,7 @@ def render_frame_deferred(
     width: int,
     height: int,
     plane_gid: int,
+    material_ids: Tuple[int, ...] | None = None,
     shadow_cap: int | None = None,
     mb_shadow_cap: int | None = None,
     cap_lanes: int | None = None,
@@ -1056,7 +1074,7 @@ def render_frame_deferred(
     kernel = functools.partial(
         _frame_kernel, tuple(geoms), clusters, step_budgets,
         cull_backface, tuple(order) if order is not None else None,
-        max_depth, width, height, plane_gid, m,
+        max_depth, width, height, plane_gid, m, material_ids,
         (None, shadow_cap), (None, mb_shadow_cap), False, False, True,
         tuple(tri_offsets) if tri_rows is not None else None,
     )
@@ -1179,7 +1197,7 @@ def render_frame_deferred(
         kernel = functools.partial(
             _frame_kernel, tuple(geoms), clusters, step_budgets,
             cull_backface, tuple(order) if order is not None else None,
-            max_depth, width, height, plane_gid, m,
+            max_depth, width, height, plane_gid, m, material_ids,
             None, None, False, False, False,
             tuple(tri_offsets) if tri_rows is not None else None,
         )
@@ -1260,6 +1278,7 @@ def pack_frame_params(scene, aspect_unused=None):
             step_budgets=layout.step_budgets,
             order=layout.traversal_order,
             plane_gid=int(layout.plane_geometry_id),
+            material_ids=layout.material_ids,
             tri_offsets=tri_offsets,
         ),
     )
@@ -1279,7 +1298,10 @@ def fused_eligible_layout(layout, num_materials: int | None = None,
         IntersectorKind.TRIANGLE,
     )
     if num_materials is None:
-        num_materials = len(layout.kinds) + (1 if layout.has_plane else 0)
+        if layout.material_ids is not None:
+            num_materials = max(layout.material_ids) + 1
+        else:
+            num_materials = len(layout.kinds) + (1 if layout.has_plane else 0)
     return (
         megakernel.pallas_available()
         and not os.environ.get("GPURT_DISABLE_FUSED")

@@ -174,18 +174,46 @@ class SceneBuilder:
             clusters=clusters,
             step_budgets=budgets,
             traversal_order=order,
+            material_ids=self._material_mapping()[1],
         )
+
+    def _material_mapping(self):
+        """Dedup identical SHADING materials: (unique_mats, material_ids)
+        with material_ids mapping each geometry row (instances then plane)
+        to its unique slot. The reference's shader table points many
+        records at shared root constants the same way
+        (Renderer.cpp:201-250: ~11 materials reused across instances);
+        deduping keeps the kernels' material select chains short and the
+        fused-kernel 16-material cap a cap on UNIQUE materials.
+        step_scale is a per-geometry march parameter, keyed out."""
+        mats = [s.material for s in self._instances]
+        if self.plane_material is not None:
+            mats = mats + [self.plane_material]
+        uniq, ids, index = [], [], {}
+        for m in mats:
+            key = (tuple(m.albedo), float(m.reflectance), float(m.diffuse),
+                   float(m.specular), float(m.specular_power))
+            slot = index.get(key)
+            if slot is None:
+                slot = len(uniq)
+                index[key] = slot
+                uniq.append(m)
+            ids.append(slot)
+        return uniq, tuple(ids)
 
     def _material_table(self) -> MaterialTable:
         mats = [s.material for s in self._instances]
         if self.plane_material is not None:
             mats = mats + [self.plane_material]
+        uniq, _ = self._material_mapping()
         return MaterialTable(
-            albedo=jnp.asarray([m.albedo for m in mats], dtype=jnp.float32),
-            reflectance_coefficient=jnp.asarray([m.reflectance for m in mats], dtype=jnp.float32),
-            diffuse_coefficient=jnp.asarray([m.diffuse for m in mats], dtype=jnp.float32),
-            specular_coefficient=jnp.asarray([m.specular for m in mats], dtype=jnp.float32),
-            specular_power=jnp.asarray([m.specular_power for m in mats], dtype=jnp.float32),
+            albedo=jnp.asarray([m.albedo for m in uniq], dtype=jnp.float32),
+            reflectance_coefficient=jnp.asarray([m.reflectance for m in uniq], dtype=jnp.float32),
+            diffuse_coefficient=jnp.asarray([m.diffuse for m in uniq], dtype=jnp.float32),
+            specular_coefficient=jnp.asarray([m.specular for m in uniq], dtype=jnp.float32),
+            specular_power=jnp.asarray([m.specular_power for m in uniq], dtype=jnp.float32),
+            # Per-GEOMETRY (not deduped): marchers index step_scale by
+            # instance id (scene_kernel.pack_params, accel/traverse).
             step_scale=jnp.asarray([m.step_scale for m in mats], dtype=jnp.float32),
         )
 

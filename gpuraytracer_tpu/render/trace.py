@@ -45,15 +45,24 @@ from gpuraytracer_tpu.render import checkers as checkers_mod
 from gpuraytracer_tpu.render import shade
 
 
-def _gather_materials(materials, geometry_id):
+def _gather_materials(materials, geometry_id, material_ids=None):
     """Index the material SoA by per-ray geometry id (the shader-record
     local-root-argument fetch analog). Miss lanes are clamped to row 0 and
     masked by callers.
 
     For the small tables of this workload (11 rows) a branchless select
     chain replaces per-ray gathers — gathers serialize on the TPU VPU,
-    selects vectorize."""
+    selects vectorize. With a deduped table (SceneLayout.material_ids) the
+    geometry id is first mapped to its unique material slot by a static
+    int select chain (identity entries skipped), then the field chain runs
+    over UNIQUE rows only."""
     g = materials.albedo.shape[0]
+    if material_ids is not None:
+        mid = jnp.zeros_like(geometry_id)
+        for gidx, slot in enumerate(material_ids):
+            if slot != 0:
+                mid = jnp.where(geometry_id == gidx, slot, mid)
+        geometry_id = mid
     if g <= 16:
         def pick(table):
             out = jnp.broadcast_to(
@@ -122,7 +131,7 @@ def trace_radiance(
         hit_pos = o + hit.t[..., None] * d
 
         albedo, refl_coef, diff_coef, spec_coef, spec_pow = _gather_materials(
-            arrays.materials, hit.geometry_id
+            arrays.materials, hit.geometry_id, scene.layout.material_ids
         )
 
         # Shadow ray. At the last level the reference's shadow trace hits the
@@ -207,8 +216,9 @@ def render_frame(scene: Scene, width: int, height: int, *, max_depth: int = MAX_
     wavefront path below is the portable reference implementation (CPU
     backend = the WARP analog) and the fallback for scenes the fused
     kernel does not cover (meshes, huge material tables, no plane)."""
-    from gpuraytracer_tpu.kernels import frame_kernel
+    from gpuraytracer_tpu.kernels import frame_kernel, scene_kernel
 
+    scene_kernel.apply_tile_policy(scene.layout)
     if frame_kernel.fused_eligible(scene):
         smem_args, kw = frame_kernel.pack_frame_params(scene)
         mode = frame_kernel.frame_mode()
