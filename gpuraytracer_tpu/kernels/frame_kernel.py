@@ -553,16 +553,11 @@ def _prepare_call(materials, aabbs, step_scales, b2l_rows, l2b_rot, mb_params,
     return smem_args, smem_specs, tuple(step_budgets), tuple(clusters), int(m)
 
 
-def _frame_scratch(tr, tc):
+def _march_bank(tr, tc):
+    # One SDF march state bank (scene_kernel._march_sdf_part layout:
+    # t, steps, done, paused, resume, thit, rprev/t_prev, oon).
     f32 = jnp.float32
     return [
-        pltpu.VMEM((tr, tc), f32),   # thit
-        pltpu.VMEM((tr, tc), f32),   # nx
-        pltpu.VMEM((tr, tc), f32),   # ny
-        pltpu.VMEM((tr, tc), f32),   # nz
-        pltpu.VMEM((tr, tc), jnp.int32),  # gid
-        # march scratch (see scene_kernel._march_sdf; trailing pair = the
-        # over-relaxation carries)
         pltpu.VMEM((tr, tc), f32),
         pltpu.VMEM((tr, tc), jnp.int32),
         pltpu.VMEM((tr, tc), jnp.int32),
@@ -572,6 +567,34 @@ def _frame_scratch(tr, tc):
         pltpu.VMEM((tr, tc), f32),
         pltpu.VMEM((tr, tc), jnp.int32),
     ]
+
+
+def _frame_scratch(tr, tc, geoms=None):
+    f32 = jnp.float32
+    scratch = [
+        pltpu.VMEM((tr, tc), f32),   # thit
+        pltpu.VMEM((tr, tc), f32),   # nx
+        pltpu.VMEM((tr, tc), f32),   # ny
+        pltpu.VMEM((tr, tc), f32),   # nz
+        pltpu.VMEM((tr, tc), jnp.int32),  # gid
+    ] + _march_bank(tr, tc)
+    # Merged occlusion march (scene_kernel._march_sdf_multi): one
+    # 16-plane state bank per SDF geometry (the 8 march planes + the
+    # loop-constant local ray / escape / t_max planes), plus the shared
+    # killed plane. ~256 KB/bank at 32x128 — VMEM is ~16 MB.
+    if geoms is not None and scene_kernel.merged_shadow_enabled():
+        f32 = jnp.float32
+        n_sdf = sum(
+            1 for k, _ in geoms
+            if k == int(IntersectorKind.SIGNED_DISTANCE)
+        )
+        if n_sdf >= 2:
+            for _ in range(n_sdf):
+                scratch += _march_bank(tr, tc) + [
+                    pltpu.VMEM((tr, tc), f32) for _ in range(8)
+                ]
+            scratch.append(pltpu.VMEM((tr, tc), jnp.int32))  # killed
+    return scratch
 
 
 @functools.partial(
@@ -654,7 +677,7 @@ def render_frame_tiles(
         in_specs=smem_specs,
         out_specs=[tile_spec] * n_out,
         out_shape=outs,
-        scratch_shapes=_frame_scratch(tr, tc),
+        scratch_shapes=_frame_scratch(tr, tc, geoms),
         interpret=interpret,
     )(*smem_args)
     r, gc, b, a = res[:4]
@@ -830,7 +853,7 @@ def render_frame_compact(
             in_specs=smem_specs,
             out_specs=[tile_spec] * 5,
             out_shape=outs,
-            scratch_shapes=_frame_scratch(tr, tc),
+            scratch_shapes=_frame_scratch(tr, tc, geoms),
             interpret=interpret,
         )(*smem_args)
 
@@ -883,7 +906,7 @@ def render_frame_compact(
             in_specs=smem_specs + [tile_spec, tile_spec],
             out_specs=[tile_spec] * 4,
             out_shape=outs,
-            scratch_shapes=_frame_scratch(tr, tc),
+            scratch_shapes=_frame_scratch(tr, tc, geoms),
             interpret=interpret,
         )(*smem_args, qpx, qpy)
 
@@ -912,7 +935,7 @@ def render_frame_compact(
             in_specs=smem_specs,
             out_specs=[tile_spec] * 4,
             out_shape=outs,
-            scratch_shapes=_frame_scratch(tr, tc),
+            scratch_shapes=_frame_scratch(tr, tc, geoms),
             interpret=interpret,
         )(*smem_args))
 
@@ -1084,7 +1107,7 @@ def render_frame_deferred(
         + [jax.ShapeDtypeStruct((hp, wp), jnp.int32, **vkw)] * nsl
         + [jax.ShapeDtypeStruct((hp, wp), f32, **vkw)] * (6 * nsl)
     )
-    scratch = _frame_scratch(tr, tc) + [pltpu.VMEM((tr, tc), jnp.int32)]
+    scratch = _frame_scratch(tr, tc, geoms) + [pltpu.VMEM((tr, tc), jnp.int32)]
     res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1162,7 +1185,7 @@ def render_frame_deferred(
                   + [tile_spec] * 7),
         out_specs=[tile_spec],
         out_shape=[jax.ShapeDtypeStruct((rows, tc), jnp.int32, **vkw)],
-        scratch_shapes=_frame_scratch(tr, tc),
+        scratch_shapes=_frame_scratch(tr, tc, geoms),
         interpret=interpret,
     )(*smem_args[:5],
       *((smem_args[8],) if tri_rows is not None else ()),
@@ -1208,7 +1231,7 @@ def render_frame_deferred(
             in_specs=smem_specs,
             out_specs=[tile_spec] * 4,
             out_shape=fouts,
-            scratch_shapes=_frame_scratch(tr, tc),
+            scratch_shapes=_frame_scratch(tr, tc, geoms),
             interpret=interpret,
         )(*smem_args))
 

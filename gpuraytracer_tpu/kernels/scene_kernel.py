@@ -102,6 +102,13 @@ PHASE_BUDGET = 64
 UNROLL_SDF = 12
 UNROLL_MB = 16
 
+# Occlusion (accept-first) marches may use their own unroll: shadow lanes
+# finish at far more diverse times than closest-hit lanes (any crossing
+# retires a lane instantly, and self-origin crawls sit next to instant
+# plane-occluded exits), so a finer check cadence tightens the convoy.
+# 0 = inherit UNROLL_SDF. Result-exact (unroll is micro-step batching).
+UNROLL_SDF_SHADOW = 0
+
 # March convoy granularity: the march while-loops run independently on
 # TILE_COLS / MARCH_HALVES column blocks, so one slow (crawl) lane stalls
 # only its own block instead of the whole tile, while per-tile fixed costs
@@ -127,6 +134,20 @@ TAIL_THRESH = 48
 # Costs ~3.8x on legitimately long marches (metaball interval misses), so
 # default off pending measurement; profiling knob.
 SHADOW_INLINE = False
+
+# Merged occlusion marching (_march_sdf_multi): ONE while loop advances
+# every SDF geometry's occlusion march concurrently with per-geometry
+# VMEM state banks and a cross-geometry kill on any valid hit — the
+# north-star "work list" form, result-exact for accept-first queries.
+# Default set by measurement; env GPURT_MERGED_SHADOW=0/1 overrides.
+MERGED_SHADOW = False
+
+
+def merged_shadow_enabled() -> bool:
+    v = os.environ.get("GPURT_MERGED_SHADOW", "")
+    if v in ("0", "1"):
+        return v == "1"
+    return MERGED_SHADOW
 
 # Closed-form geometry kinds whose whole intersector body costs about as
 # much as the pl.when plumbing around it (a tile-wide any-reduction + a
@@ -435,6 +456,218 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
     # (the two-phase dirty-tile scheme, see scene_closest_tiles).
     capped = gate & (steps_ref[:] >= max_steps) & (t_hit == jnp.inf)
     return t_hit < inf, t_hit, capped
+
+
+def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
+    """Merged occlusion march — the north star's "ray work list" adapted
+    to SIMD tiles: ONE while loop advances EVERY signed-distance
+    geometry's occlusion march concurrently, each geometry under its own
+    pl.when(any lane unfinished) section with its own VMEM state bank.
+
+    Versus the sequential per-geometry loops (_march_sdf per geometry,
+    each running to its slowest lane before the next starts) this
+      (a) pays the outer-loop fixed costs max_g(iters) times instead of
+          sum_g(iters), and
+      (b) kills EVERY geometry's march for a lane the moment ANY geometry
+          registers a valid occlusion hit. An accept-first query needs one
+          witness (TraceShadowRayAndReportIfHit, Raytracing.hlsl:115-146;
+          RAY_FLAG_ACCEPT_FIRST_HIT_AND_END_SEARCH ends traversal exactly
+          like this), so the kill is result-exact: per-geometry step
+          sequences are bit-identical to the sequential marches
+          (independent state), and kills only discard work whose result
+          the OR-reduction discards anyway.
+
+    parts: per-geometry dicts with
+      fn          SoA distance function (local space)
+      ray()       -> (o_loc V3, d_loc V3); evaluated ONCE at init and
+                  stored in the bank (per-iteration recompute measured
+                  +5 ms/frame on builtin — the escape/length
+                  transcendentals dominate a section's fixed cost)
+      gate        entry gate plane (bool)
+      t_lo        march start plane or None (AABB-windowed extensions)
+      t_max()     -> plane; the live RayTCurrent bound intersected with
+                  the AABB window for extension codes (constant during the
+                  merged loop: closed forms ran before, the epilogue
+                  writes after); evaluated once at init
+      budget      step budget (int)
+      escape      bool — march_escape_t retirement applies (codes in
+                  sdf.ESCAPE_SAFE_CODES)
+      relax       over-relaxation omega (1.0 = reference stepping)
+      cull        back-face cull in the validity check
+      scratch     16-plane VMEM bank: the _march_sdf_part 8 (t, steps,
+                  done, paused, resume, thit, rprev, oon) + the
+                  loop-constant planes (o_loc xyz, d_loc xyz, t_escape,
+                  t_max), written once at init
+    killed_ref: shared i32 plane — lanes with a registered occlusion hit.
+
+    The micro-step semantics are transcribed from _march_sdf_part (the
+    source of truth — see its comments); equality is pinned bit-exactly by
+    tests/test_merged_shadow.py.
+    """
+    from gpuraytracer_tpu.geometry.sdf import march_escape_t
+
+    if unroll is None:
+        unroll = UNROLL_SDF
+    inf = jnp.float32(jnp.inf)
+
+    killed_ref[:] = killed0.astype(jnp.int32)
+
+    # ---- init every bank (gate + window evaluated once) ----------------
+    for p in parts:
+        done_ref = p["scratch"][2]
+        gate = p["gate"] & ~(killed0)
+        zero = gate.astype(jnp.float32) * 0.0
+        izero = zero.astype(jnp.int32)
+        # done must be reset unconditionally (scratch is reused across
+        # traversals — stale zeros would keep the loop alive on garbage);
+        # the remaining planes only matter for gated lanes (stale values
+        # are masked by done everywhere downstream).
+        done_ref[:] = jnp.where(gate, izero, izero + 1)
+
+        def init_rest(p=p, gate=gate, zero=zero, izero=izero):
+            (t_ref, steps_ref, _, paused_ref, resume_ref, thit_ref,
+             rprev_ref, oon_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+             dz_ref, tesc_ref, tmax_ref) = p["scratch"]
+            t_ref[:] = zero if p["t_lo"] is None else zero + p["t_lo"]
+            steps_ref[:] = izero
+            paused_ref[:] = izero
+            resume_ref[:] = izero
+            if p["relax"] > 1.0:
+                rprev_ref[:] = zero
+                oon_ref[:] = izero + 1
+            else:
+                rprev_ref[:] = zero - 1.0
+            o, d = p["ray"]()
+            ox_ref[:] = o.x
+            oy_ref[:] = o.y
+            oz_ref[:] = o.z
+            dx_ref[:] = d.x
+            dy_ref[:] = d.y
+            dz_ref[:] = d.z
+            t_max = p["t_max"]()
+            tmax_ref[:] = t_max
+            if p["escape"]:
+                tesc_ref[:] = jnp.minimum(
+                    t_max, march_escape_t(o.length(), d.length()))
+            else:
+                tesc_ref[:] = t_max
+
+        pl.when(jnp.any(gate))(init_rest)
+
+    def section(p):
+        (t_ref, steps_ref, done_ref, paused_ref, resume_ref, thit_ref,
+         rprev_ref, oon_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+         dz_ref, tesc_ref, tmax_ref) = p["scratch"]
+        distance_fn = p["fn"]
+        relaxed = p["relax"] > 1.0
+        relax = p["relax"]
+        max_steps = p["budget"]
+        o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
+        d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
+        t_max = tmax_ref[:]
+        step_scale = p["step_scale"]()
+        t_escape = tesc_ref[:]
+        izero = (o.x * 0.0).astype(jnp.int32)
+
+        def check():
+            t = t_ref[:]
+            paused = paused_ref[:] != 0
+            pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+            if not p["cull"]:
+                facing_ok = t == t
+            elif _check_directional():
+                h = jnp.float32(1e-4)
+                ahead = V3(pos.x + h * d.x, pos.y + h * d.y, pos.z + h * d.z)
+                facing_ok = distance_fn(ahead) - distance_fn(pos) <= 0.0
+            else:
+                n = _normal_at(distance_fn, pos)
+                facing_ok = d.dot(n) <= 0.0
+            in_range = (t >= 0.0) & (t <= t_max)
+            valid = paused & facing_ok & in_range
+            killed_ref[:] = killed_ref[:] | valid.astype(jnp.int32)
+            done_ref[:] = done_ref[:] | valid.astype(jnp.int32)
+            resume_ref[:] = (paused & ~valid).astype(jnp.int32)
+            paused_ref[:] = izero
+
+        pl.when(jnp.any(paused_ref[:] != 0))(check)
+        t = t_ref[:]
+        steps = steps_ref[:]
+        # Cross-geometry kill: another geometry's witness retires this
+        # lane's march here (the accept-first end-of-search).
+        done = (done_ref[:] | killed_ref[:]) != 0
+        paused = paused_ref[:] != 0
+        resume = resume_ref[:] != 0
+        if relaxed:
+            rprev = rprev_ref[:]
+            oon = oon_ref[:] != 0
+        else:
+            t_prev = rprev_ref[:]
+        for _ in range(unroll):
+            marching = ~done & ~paused
+            pos = V3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
+            dist = distance_fn(pos)
+            adv_resume = marching & resume
+            fresh = marching & ~resume & (steps < max_steps)
+            done = done | (marching & ~resume & (steps >= max_steps))
+            if relaxed:
+                fail = fresh & oon & (dist + rprev < relax * rprev)
+                crossed = (dist <= SDF_HIT_THRESHOLD * t) & ~fail
+            else:
+                crossed = dist <= SDF_HIT_THRESHOLD * t
+            newly_paused = fresh & crossed
+            advance = fresh & ~crossed
+            steps = steps + jnp.where(fresh, 1, 0)
+            moved = adv_resume | advance
+            if relaxed:
+                done = done | (moved & (t + step_scale * dist > t_escape))
+                plain = step_scale * dist
+                fail_step = ((1.0 - relax) * relax) * (step_scale * rprev)
+                stepv = jnp.where(
+                    fail, fail_step,
+                    jnp.where(oon & ~adv_resume, relax * plain, plain),
+                )
+                stuck = moved & ~fail & (t + stepv == t)
+                t = jnp.where(moved, t + stepv, t)
+                done = done | stuck
+                oon = oon & ~fail & ~adv_resume
+                rprev = jnp.where(moved, dist, rprev)
+            else:
+                t_new = t + step_scale * dist
+                stuck = moved & ((t_new == t) | (t_new == t_prev))
+                t_prev = jnp.where(moved, t, t_prev)
+                t = jnp.where(moved, t_new, t)
+                done = done | (moved & (t > t_escape)) | stuck
+            paused = paused | newly_paused
+            resume = resume & ~adv_resume
+        t_ref[:] = t
+        steps_ref[:] = steps
+        done_ref[:] = done.astype(jnp.int32)
+        paused_ref[:] = paused.astype(jnp.int32)
+        resume_ref[:] = resume.astype(jnp.int32)
+        if relaxed:
+            rprev_ref[:] = rprev
+            oon_ref[:] = oon.astype(jnp.int32)
+        else:
+            rprev_ref[:] = t_prev
+
+    def body(carry):
+        for p in parts:
+            done_ref = p["scratch"][2]
+            pl.when(jnp.any(done_ref[:] == 0))(
+                functools.partial(section, p))
+        alive = jnp.bool_(False)
+        for p in parts:
+            alive = alive | jnp.any(p["scratch"][2][:] == 0)
+        return alive
+
+    def alive0():
+        alive = jnp.bool_(False)
+        for p in parts:
+            alive = alive | jnp.any(p["scratch"][2][:] == 0)
+        return alive
+
+    jax.lax.while_loop(lambda c: c, body, alive0())
+    return killed_ref[:] != 0
 
 
 def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None,
@@ -1103,11 +1336,12 @@ def _traverse_tile(
                     )
                     capped = hit & False
                 else:
+                    sh_unroll = (UNROLL_SDF_SHADOW or None) if accept_first else None
                     hit, t, capped = _march_sdf(
                         distance_fn, o_loc, d_loc, gate, t_hi,
-                        sscale_ref[g, 0], march_scratch, cull_backface=cull_g,
+                        sscale_ref[g, 0], march_scratch[:8], cull_backface=cull_g,
                         max_steps=budget, t_start=t_lo, escape_bound=esc,
-                        relax=relax,
+                        relax=relax, unroll=sh_unroll,
                     )
                 if dirty_ref is not None and budget < step_budgets[g]:
                     dirty_ref[:] = dirty_ref[:] | (
@@ -1125,7 +1359,7 @@ def _traverse_tile(
                 elif mb_budget_cap is not None:
                     budget = min(mb_budget_cap, budget)
                 hit, t, capped = _march_metaballs(
-                    o_loc, d_loc, gate, best_t, balls, march_scratch,
+                    o_loc, d_loc, gate, best_t, balls, march_scratch[:8],
                     max_steps=budget, step_div=METABALL_MAX_STEPS,
                 )
                 if dirty_ref is not None and budget < METABALL_MAX_STEPS:
@@ -1247,12 +1481,31 @@ def _traverse_tile(
     }
     if not os.environ.get("GPURT_NO_CHEAP_FIRST"):
         order = tuple(sorted(order, key=lambda g: cost_class[geoms[g][0]]))
+
+    # Merged occlusion march (_march_sdf_multi): pull every SDF geometry
+    # out of the sequential emit and run them in ONE shared while loop
+    # after the cheap/metaball phase. Engages only on full-budget
+    # accept-first traversals with the per-geometry scratch banks
+    # allocated (frame kernel plain path); order/cluster structure is
+    # irrelevant to the occlusion boolean (any-valid-hit reduction).
+    merged_sdf = ()
+    if (accept_first and merged_shadow_enabled() and dirty_ref is None
+            and budget_cap is None and phase == "single"
+            and not SHADOW_INLINE):
+        sdf_ids = tuple(
+            g for g in order
+            if geoms[g][0] == int(IntersectorKind.SIGNED_DISTANCE)
+        )
+        if (len(sdf_ids) >= 2
+                and len(march_scratch) >= 8 + 16 * len(sdf_ids) + 1):
+            merged_sdf = sdf_ids
+    seq_order = tuple(g for g in order if g not in merged_sdf)
     rank = {g: i for i, g in enumerate(order)}
     if len(clusters) == 1:
         # Flat traversal: one implicit cluster needs no extra gate.
         # Processing near geometries first (layout.traversal_order) lets
         # the shrinking best_t reject far gates before their marches.
-        emit_sequence(order)
+        emit_sequence(seq_order)
     else:
         # Two-level traversal (accel/bvh.py): one slab test against the
         # cluster's merged AABB gates ALL member geometry — a tile that
@@ -1264,7 +1517,12 @@ def _traverse_tile(
             key=lambda k: min(rank[g] for g in clusters[k]),
         )
         for k in cluster_order:
-            members = sorted(clusters[k], key=lambda g: rank[g])
+            members = sorted(
+                (g for g in clusters[k] if g not in merged_sdf),
+                key=lambda g: rank[g],
+            )
+            if not members:
+                continue
             row = g_count + k
             tmin_c, tmax_c = soa.aabb_interval(
                 o, d,
@@ -1280,6 +1538,66 @@ def _traverse_tile(
                 emit_sequence(members)
 
             pl.when(jnp.any(gate_c))(process_cluster)
+
+    if merged_sdf:
+        from gpuraytracer_tpu.geometry import sdf as sdf_mod
+
+        n_m = len(merged_sdf)
+        banks = [tuple(march_scratch[8 + 16 * k: 8 + 16 * (k + 1)])
+                 for k in range(n_m)]
+        killed_ref = march_scratch[8 + 16 * n_m]
+        parts = []
+        for k, g in enumerate(merged_sdf):
+            _, code = geoms[g]
+            gate_m, tmin_m, _ = geometry_gate(g)
+            windowed = int(code) >= 7
+
+            def ray(g=g):
+                def mrow(r, vx, vy, vz, w=None):
+                    out = (b2l_ref[g, 4 * r + 0] * vx
+                           + b2l_ref[g, 4 * r + 1] * vy
+                           + b2l_ref[g, 4 * r + 2] * vz)
+                    if w is not None:
+                        out = out + b2l_ref[g, 4 * r + 3]
+                    return out
+
+                o_loc = V3(mrow(0, o.x, o.y, o.z, w=1),
+                           mrow(1, o.x, o.y, o.z, w=1),
+                           mrow(2, o.x, o.y, o.z, w=1))
+                d_loc = V3(mrow(0, d.x, d.y, d.z),
+                           mrow(1, d.x, d.y, d.z),
+                           mrow(2, d.x, d.y, d.z))
+                return o_loc, d_loc
+
+            def t_max(g=g, windowed=windowed):
+                bound = thit_ref[:]
+                if not windowed:
+                    return bound
+                _, tmax_w = soa.aabb_interval(
+                    o, d,
+                    aabb_ref[g, 0], aabb_ref[g, 1], aabb_ref[g, 2],
+                    aabb_ref[g, 3], aabb_ref[g, 4], aabb_ref[g, 5],
+                )
+                return jnp.minimum(bound, tmax_w)
+
+            parts.append(dict(
+                fn=soa.DISTANCE_FUNCTIONS_SOA[int(code)],
+                ray=ray,
+                gate=gate_m,
+                t_lo=jnp.maximum(tmin_m, 0.0) if windowed else None,
+                t_max=t_max,
+                budget=step_budgets[g] if step_budgets else SDF_MAX_STEPS,
+                escape=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
+                relax=sdf_mod.relax_for_code(int(code)),
+                cull=cull_backface and int(code) < 7,
+                step_scale=(lambda g=g: sscale_ref[g, 0]),
+                scratch=banks[k],
+            ))
+        occluded = _march_sdf_multi(parts, killed_ref, gid_ref[:] >= 0)
+        new_gid = jnp.where(occluded & (gid_ref[:] < 0),
+                            merged_sdf[0], gid_ref[:])
+        gid_ref[:] = new_gid
+        thit_ref[:] = jnp.where(new_gid >= 0, 0.0, thit_ref[:])
 
     best_t = thit_ref[:]
     best_id = gid_ref[:]

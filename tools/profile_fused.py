@@ -37,6 +37,8 @@ def main():
     p.add_argument("--budget", type=int, default=0)
     p.add_argument("--mb-steps", type=int, default=0)
     p.add_argument("--unroll-sdf", type=int, default=0)
+    p.add_argument("--unroll-shadow", type=int, default=0,
+                   help="occlusion-march unroll (0 = UNROLL_SDF)")
     p.add_argument("--unroll-mb", type=int, default=0)
     p.add_argument("--tile-rows", type=int, default=0)
     p.add_argument("--tile-cols", type=int, default=0)
@@ -67,6 +69,8 @@ def main():
 
     if args.unroll_sdf:
         scene_kernel.UNROLL_SDF = args.unroll_sdf
+    if args.unroll_shadow:
+        scene_kernel.UNROLL_SDF_SHADOW = args.unroll_shadow
     if args.unroll_mb:
         scene_kernel.UNROLL_MB = args.unroll_mb
     if args.tile_rows:
@@ -133,6 +137,7 @@ def main():
         "width": W, "height": H, "n": args.n,
         "budget": args.budget or "ref", "mb_steps": args.mb_steps or "ref",
         "unroll_sdf": scene_kernel.UNROLL_SDF,
+        "unroll_shadow": scene_kernel.UNROLL_SDF_SHADOW,
         "unroll_mb": scene_kernel.UNROLL_MB,
         "halves": scene_kernel.MARCH_HALVES,
         "shadow_inline": scene_kernel.SHADOW_INLINE,

@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-end artifact flow (run ON the TPU host, from the repo root):
+# compiles the exact driver-measured programs into .jax_cache, refreshes
+# every committed measurement artifact, and re-checks the driver entry
+# points — so no artifact can go stale against the code and the driver's
+# bench can never measure a Mosaic compile (VERDICT r2 weak #5 / next #4,7).
+#
+#   bash tools/round_end.sh
+#
+# Each step retries once (the remote tunnel wedges transiently; DEVNOTES).
+set -u
+cd "$(dirname "$0")/.."
+
+run2() {
+  local tag="$1"; shift
+  echo "=== $tag ==="
+  timeout 3000 "$@"
+  if [ $? -ne 0 ]; then
+    echo "--- retry $tag ---"
+    timeout 3000 "$@"
+  fi
+}
+
+run2 prewarm      python tools/prewarm.py --entry
+run2 bench        python bench.py
+run2 bench_suite  python -m gpuraytracer_tpu.apps.bench_suite --json out/bench_suite.json
+run2 parity       python tools/parity.py --out PARITY_r03.json
+run2 entry        python -c "import __graft_entry__ as g; f,a=g.entry(); import jax; print('entry:', jax.jit(f).lower(*a).compile() is not None)"
+run2 dryrun       python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+echo "=== round_end done ==="
