@@ -58,7 +58,7 @@ def intersect_plane(origins, directions, plane_origin, plane_size, *, t_min, t_m
     return hit, jnp.where(hit, t, jnp.inf)
 
 
-def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, step_scale, elapsed_time, gate, mesh=None, max_steps=None):
+def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, step_scale, elapsed_time, gate, mesh=None, max_steps=None, occlusion=False):
     """Static dispatch to the intersection kernel for one geometry — the
     lax.switch-free SBT analog (each geometry's kernel is known at trace
     time; Raytracing.hlsl:289-341)."""
@@ -120,8 +120,11 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
         steps = SDF_MAX_STEPS if max_steps is None else int(max_steps)
         # Extension DE fractals march over-relaxed (Keinert 2014 —
         # sdf.extension_relax); reference codes keep the exact reference
-        # step sequence (relax = 1).
-        relax = sdf.extension_relax() if int(prim_type) >= 7 else 1.0
+        # step sequence (relax = 1) unless GPURT_RELAX_REF opts in, and
+        # occlusion queries honor GPURT_RELAX_SHADOW (sdf.occlusion_relax)
+        # — the same selection the Pallas kernels make, keeping the XLA
+        # stand-in aligned with them under every knob setting.
+        relax = sdf.relax_for_code(int(prim_type), occlusion=occlusion)
         if megakernel.pallas_available() and o_loc.ndim == 3:
             t_max_arr = jnp.broadcast_to(
                 jnp.asarray(t_hi, dtype=o_loc.dtype), o_loc.shape[:-1]
@@ -407,6 +410,7 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
             gate=gate,
             mesh=arrays.meshes[prim_type] if kind == IntersectorKind.TRIANGLE else None,
             max_steps=layout.step_budgets[i] if layout.step_budgets else None,
+            occlusion=True,
         )
         occluded = occluded | (hit_i & gate)
 

@@ -436,8 +436,30 @@ def reference_relax() -> float:
     return v if v > 1.0 else 1.0
 
 
-def relax_for_code(code: int) -> float:
-    return extension_relax() if int(code) >= 7 else reference_relax()
+def occlusion_relax() -> float:
+    """Over-relaxation for OCCLUSION (accept-first shadow) marches.
+
+    A shadow query's result is one boolean (Raytracing.hlsl:115-147 —
+    SKIP_CLOSEST_HIT: no t, no normal, no shading ever reads the march's
+    landing point), so the hit-t shifts that keep over-relaxation opt-in
+    for radiance marches (reference_relax) are invisible here: the
+    back-step-on-disjoint-spheres fallback preserves WHICH surface gets
+    hit, and hit/no-hit can only flip for rays grazing within rounding of
+    the crossing threshold. Measured on the builtin scene (CPU A/B,
+    tools/profile_relax_ref.py --env GPURT_RELAX_SHADOW): see DEVNOTES
+    round-3. Sweepable via GPURT_RELAX_SHADOW; 1.0 disables."""
+    import os
+
+    try:
+        v = float(os.environ.get("GPURT_RELAX_SHADOW", "1.0"))
+    except ValueError:
+        return 1.0
+    return v if v > 1.0 else 1.0
+
+
+def relax_for_code(code: int, occlusion: bool = False) -> float:
+    base = extension_relax() if int(code) >= 7 else reference_relax()
+    return max(base, occlusion_relax()) if occlusion else base
 
 
 def sphere_trace(

@@ -1034,7 +1034,8 @@ def _finish_tile(
                     t_hi, sscale_ref[g, 0], cull_backface=cull_g,
                     max_steps=step_budgets[g], t_start=t_lo,
                     escape_bound=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
-                    relax=sdf_mod.relax_for_code(int(code)),
+                    relax=sdf_mod.relax_for_code(int(code),
+                                                 occlusion=accept_first),
                 )
             else:
                 balls = tuple(
@@ -1326,7 +1327,8 @@ def _traverse_tile(
                 from gpuraytracer_tpu.geometry import sdf as sdf_mod
 
                 esc = int(code) in sdf_mod.ESCAPE_SAFE_CODES
-                relax = sdf_mod.relax_for_code(int(code))
+                relax = sdf_mod.relax_for_code(int(code),
+                                               occlusion=accept_first)
                 if accept_first and SHADOW_INLINE:
                     hit, t = _march_sdf_inline(
                         distance_fn, o_loc, d_loc, gate, t_hi,
@@ -1588,7 +1590,8 @@ def _traverse_tile(
                 t_max=t_max,
                 budget=step_budgets[g] if step_budgets else SDF_MAX_STEPS,
                 escape=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
-                relax=sdf_mod.relax_for_code(int(code)),
+                # _march_sdf_multi only ever runs occlusion queries.
+                relax=sdf_mod.relax_for_code(int(code), occlusion=True),
                 cull=cull_backface and int(code) < 7,
                 step_scale=(lambda g=g: sscale_ref[g, 0]),
                 scratch=banks[k],

@@ -1,0 +1,93 @@
+"""Accuracy A/B for the over-relaxed march knobs (GPURT_RELAX_REF /
+GPURT_RELAX_SHADOW).
+
+Renders the builtin scene on the CURRENT backend at two relax settings in
+separate subprocesses (the knob is read at trace time) and reports how
+many pixels move > 1e-3 — the same acceptance methodology that chose the
+extension-fractal march budget (DEVNOTES round-3). Run on CPU for a
+device-free accuracy read; the perf side is tools/profile_fused.py on
+the TPU.
+
+Usage: python tools/profile_relax_ref.py [--width 320] [--height 180]
+       [--omega 1.6] [--t 0.7] [--env GPURT_RELAX_REF]
+       (--env GPURT_RELAX_SHADOW A/Bs the occlusion-march relaxation)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RENDER_SNIPPET = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.join({repo!r}, ".jax_cache"))
+from gpuraytracer_tpu.models import builtin
+from gpuraytracer_tpu.render import trace
+from gpuraytracer_tpu.accel.instances import Scene
+
+w, h, t = {w}, {h}, {t}
+scene = builtin.build_scene(aspect=w / h, elapsed_time=t)
+img = np.asarray(trace.render_frame(scene, w, h))
+np.save({out!r}, img)
+"""
+
+
+def render(w, h, t, omega, out, platform, env_key):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = platform
+    env[env_key] = str(omega)
+    code = RENDER_SNIPPET.format(repo=REPO, w=w, h=h, t=t, out=out)
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=3600)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--height", type=int, default=180)
+    p.add_argument("--omega", type=float, default=1.6)
+    p.add_argument("--t", type=float, default=0.7)
+    p.add_argument("--platform", type=str, default="cpu")
+    p.add_argument("--env", type=str, default="GPURT_RELAX_REF",
+                   help="relax knob to A/B (GPURT_RELAX_REF or"
+                        " GPURT_RELAX_SHADOW)")
+    args = p.parse_args()
+
+    import numpy as np
+
+    with tempfile.TemporaryDirectory() as td:
+        a_path = os.path.join(td, "plain.npy")
+        b_path = os.path.join(td, "relaxed.npy")
+        render(args.width, args.height, args.t, 1.0, a_path, args.platform,
+               args.env)
+        render(args.width, args.height, args.t, args.omega, b_path,
+               args.platform, args.env)
+        a = np.load(a_path)
+        b = np.load(b_path)
+
+    d = np.abs(a - b).max(axis=-1)
+    report = {
+        "width": args.width,
+        "height": args.height,
+        "env": args.env,
+        "omega": args.omega,
+        "pct_within_1e3": round(float((d <= 1e-3).mean() * 100), 3),
+        "pct_moved_1e3": round(float((d > 1e-3).mean() * 100), 3),
+        "mean_abs": round(float(d.mean()), 6),
+        "p99_abs": round(float(np.percentile(d, 99)), 5),
+        "max_abs": round(float(d.max()), 4),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
