@@ -125,6 +125,10 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
         # — the same selection the Pallas kernels make, keeping the XLA
         # stand-in aligned with them under every knob setting.
         relax = sdf.relax_for_code(int(prim_type), occlusion=occlusion)
+        if occlusion:
+            steps = sdf.cap_occlusion_budget(steps)
+        else:
+            steps = sdf.cap_radiance_budget(steps)
         if megakernel.pallas_available() and o_loc.ndim == 3:
             t_max_arr = jnp.broadcast_to(
                 jnp.asarray(t_hi, dtype=o_loc.dtype), o_loc.shape[:-1]

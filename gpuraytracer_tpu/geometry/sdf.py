@@ -446,20 +446,83 @@ def occlusion_relax() -> float:
     back-step-on-disjoint-spheres fallback preserves WHICH surface gets
     hit, and hit/no-hit can only flip for rays grazing within rounding of
     the crossing threshold. Measured on the builtin scene (CPU A/B,
-    tools/profile_relax_ref.py --env GPURT_RELAX_SHADOW): see DEVNOTES
-    round-3. Sweepable via GPURT_RELAX_SHADOW; 1.0 disables."""
+    tools/profile_relax_ref.py --env GPURT_RELAX_SHADOW, 320x180):
+    99.998% of pixels within 1e-3 at omega 1.6 AND 2.0 (max abs 0.0028);
+    1080p device slope 34.8 -> 31.9 ms at 1.6, 32.9 at 2.0 (overshoot
+    repair outweighs the longer stride). Default 1.6 — the measured
+    optimum; GPURT_RELAX_SHADOW=1.0 restores the exact reference step
+    sequence. Radiance marches stay exact by default: the same A/B on
+    GPURT_RELAX_REF moved 5.2% of pixels (max 2.0) because back-step
+    hit-t shifts perturb normals on reflective surfaces."""
     import os
 
     try:
-        v = float(os.environ.get("GPURT_RELAX_SHADOW", "1.0"))
+        v = float(os.environ.get("GPURT_RELAX_SHADOW", "1.6"))
     except ValueError:
-        return 1.0
+        return 1.6
     return v if v > 1.0 else 1.0
 
 
 def relax_for_code(code: int, occlusion: bool = False) -> float:
     base = extension_relax() if int(code) >= 7 else reference_relax()
     return max(base, occlusion_relax()) if occlusion else base
+
+
+def shadow_budget_cap() -> int:
+    """Step-budget cap for OCCLUSION marches (GPURT_SHADOW_BUDGET).
+
+    A shadow march that exhausts its budget without a crossing reports
+    "unoccluded" — exactly what an under-budget radiance march would
+    mis-shade, except the only consumer is one boolean, so the error
+    surface is rays whose occluder needs > cap relaxed steps to reach
+    (grazing silhouettes). Measured sweep on the builtin scene (CPU
+    accuracy at 320x180, tools/profile_relax_ref.py; TPU 1080p device
+    slope under relax 1.6): cap 192 -> 0.042% of pixels move > 1e-3 /
+    28.1 ms; cap 128 -> 0.125% / 27.4 ms; cap 64 -> 0.578% / 25.1 ms;
+    uncapped 31.9 ms. Default 128 — well inside the 0.5% acceptance
+    standard that set the extension-fractal radiance budget (DEVNOTES).
+    0 disables (occlusion marches inherit the geometry's full budget).
+    Read at trace time like the relax knobs; applied identically in the
+    Pallas kernels and the XLA stand-in."""
+    import os
+
+    try:
+        v = int(float(os.environ.get("GPURT_SHADOW_BUDGET", "128")))
+    except ValueError:
+        return 128
+    # <= 1 disables (1 is a meaningless march; it also lets the accuracy
+    # A/B tool's omega=1.0 baseline mean "off" for this knob too).
+    return v if v > 1 else 0
+
+
+def cap_occlusion_budget(budget: int) -> int:
+    cap = shadow_budget_cap()
+    return min(int(budget), cap) if cap else int(budget)
+
+
+def radiance_budget_cap() -> int:
+    """Step-budget cap for RADIANCE (closest-hit) marches
+    (GPURT_MARCH_BUDGET). Unlike the occlusion cap, a capped-out radiance
+    march mis-shades the pixel outright (background/plane showthrough at
+    silhouettes) — but the measured tail is tiny: on the builtin scene
+    (CPU accuracy at 320x180, tools/profile_relax_ref.py) cap 256 moves
+    0.003% of pixels > 1e-3 (TWO pixels; max abs 0.38) for 27.4 ->
+    26.1 ms 1080p device. Rays still marching past 256 steps are
+    crawling along grazing silhouettes; almost all end as misses anyway.
+    Default 256; 0 disables (full reference 512-step budget). Per-scene
+    budgets below the cap are unaffected."""
+    import os
+
+    try:
+        v = int(float(os.environ.get("GPURT_MARCH_BUDGET", "256")))
+    except ValueError:
+        return 256
+    return v if v > 1 else 0
+
+
+def cap_radiance_budget(budget: int) -> int:
+    cap = radiance_budget_cap()
+    return min(int(budget), cap) if cap else int(budget)
 
 
 def sphere_trace(

@@ -1032,7 +1032,11 @@ def _finish_tile(
                 hit, t = _march_sdf_inline(
                     soa.DISTANCE_FUNCTIONS_SOA[int(code)], o_loc, d_loc, gate,
                     t_hi, sscale_ref[g, 0], cull_backface=cull_g,
-                    max_steps=step_budgets[g], t_start=t_lo,
+                    max_steps=(sdf_mod.cap_occlusion_budget(step_budgets[g])
+                               if accept_first
+                               else sdf_mod.cap_radiance_budget(
+                                   step_budgets[g])),
+                    t_start=t_lo,
                     escape_bound=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
                     relax=sdf_mod.relax_for_code(int(code),
                                                  occlusion=accept_first),
@@ -1329,6 +1333,10 @@ def _traverse_tile(
                 esc = int(code) in sdf_mod.ESCAPE_SAFE_CODES
                 relax = sdf_mod.relax_for_code(int(code),
                                                occlusion=accept_first)
+                if accept_first:
+                    budget = sdf_mod.cap_occlusion_budget(budget)
+                else:
+                    budget = sdf_mod.cap_radiance_budget(budget)
                 if accept_first and SHADOW_INLINE:
                     hit, t = _march_sdf_inline(
                         distance_fn, o_loc, d_loc, gate, t_hi,
@@ -1588,7 +1596,8 @@ def _traverse_tile(
                 gate=gate_m,
                 t_lo=jnp.maximum(tmin_m, 0.0) if windowed else None,
                 t_max=t_max,
-                budget=step_budgets[g] if step_budgets else SDF_MAX_STEPS,
+                budget=sdf_mod.cap_occlusion_budget(
+                    step_budgets[g] if step_budgets else SDF_MAX_STEPS),
                 escape=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
                 # _march_sdf_multi only ever runs occlusion queries.
                 relax=sdf_mod.relax_for_code(int(code), occlusion=True),

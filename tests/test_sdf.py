@@ -286,3 +286,49 @@ def test_extension_relax_knob(monkeypatch):
     assert sdf.extension_relax() == 1.0
     monkeypatch.setenv("GPURT_RELAX", "nope")
     assert sdf.extension_relax() == sdf.RELAX_OMEGA
+
+
+def test_occlusion_relax_knob(monkeypatch):
+    # Shadow marches relax by default (accuracy A/B in the docstring);
+    # 1.0 restores the exact reference step sequence.
+    monkeypatch.delenv("GPURT_RELAX_SHADOW", raising=False)
+    assert sdf.occlusion_relax() == 1.6
+    assert sdf.relax_for_code(0, occlusion=True) == 1.6
+    assert sdf.relax_for_code(0, occlusion=False) == 1.0
+    monkeypatch.setenv("GPURT_RELAX_SHADOW", "1.0")
+    assert sdf.occlusion_relax() == 1.0
+    assert sdf.relax_for_code(0, occlusion=True) == 1.0
+    monkeypatch.setenv("GPURT_RELAX_SHADOW", "nope")
+    assert sdf.occlusion_relax() == 1.6
+    # Extension codes keep their own (larger-or-equal) relaxation.
+    monkeypatch.setenv("GPURT_RELAX_SHADOW", "1.2")
+    monkeypatch.delenv("GPURT_RELAX", raising=False)
+    assert sdf.relax_for_code(7, occlusion=True) == sdf.RELAX_OMEGA
+
+
+def test_shadow_budget_cap_knob(monkeypatch):
+    # Occlusion marches cap at 128 steps by default (measured sweep in
+    # the docstring); GPURT_SHADOW_BUDGET=0 restores the full budget.
+    monkeypatch.delenv("GPURT_SHADOW_BUDGET", raising=False)
+    assert sdf.shadow_budget_cap() == 128
+    assert sdf.cap_occlusion_budget(512) == 128
+    assert sdf.cap_occlusion_budget(96) == 96
+    monkeypatch.setenv("GPURT_SHADOW_BUDGET", "256")
+    assert sdf.cap_occlusion_budget(512) == 256
+    # <= 1 disables the cap; junk falls back to the default.
+    monkeypatch.setenv("GPURT_SHADOW_BUDGET", "0")
+    assert sdf.shadow_budget_cap() == 0
+    assert sdf.cap_occlusion_budget(512) == 512
+    monkeypatch.setenv("GPURT_SHADOW_BUDGET", "1.0")
+    assert sdf.shadow_budget_cap() == 0
+    monkeypatch.setenv("GPURT_SHADOW_BUDGET", "nope")
+    assert sdf.shadow_budget_cap() == 128
+    # Radiance marches cap at 256 by default (0.003% of pixels move —
+    # measured sweep in the docstring); 0 restores the reference 512.
+    monkeypatch.delenv("GPURT_MARCH_BUDGET", raising=False)
+    assert sdf.radiance_budget_cap() == 256
+    assert sdf.cap_radiance_budget(512) == 256
+    assert sdf.cap_radiance_budget(128) == 128
+    monkeypatch.setenv("GPURT_MARCH_BUDGET", "0")
+    assert sdf.radiance_budget_cap() == 0
+    assert sdf.cap_radiance_budget(512) == 512

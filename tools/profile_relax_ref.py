@@ -30,22 +30,49 @@ sys.path.insert(0, {repo!r})
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", os.path.join({repo!r}, ".jax_cache"))
-from gpuraytracer_tpu.models import builtin
 from gpuraytracer_tpu.render import trace
 from gpuraytracer_tpu.accel.instances import Scene
 
 w, h, t = {w}, {h}, {t}
-scene = builtin.build_scene(aspect=w / h, elapsed_time=t)
-img = np.asarray(trace.render_frame(scene, w, h))
+if {config!r}:
+    from gpuraytracer_tpu.models.scenes import get_config
+    cfg = get_config({config!r})
+    builder = cfg.builder()
+    scene0 = builder.build(w / h, 0.0)
+    arrays = builder.animator()(scene0.arrays, t)
+    img = np.asarray(trace.render_frame(
+        Scene(scene0.layout, arrays), w, h, max_depth=cfg.max_depth))
+else:
+    from gpuraytracer_tpu.models import builtin
+    scene = builtin.build_scene(aspect=w / h, elapsed_time=t)
+    img = np.asarray(trace.render_frame(scene, w, h))
 np.save({out!r}, img)
 """
 
 
-def render(w, h, t, omega, out, platform, env_key):
+EXACT_ENV = {
+    # Every accuracy knob at its exact-reference-semantics setting.
+    "GPURT_RELAX_SHADOW": "1.0",
+    "GPURT_SHADOW_BUDGET": "0",
+    "GPURT_MARCH_BUDGET": "0",
+    "GPURT_RELAX_REF": "1.0",
+}
+
+
+def render(w, h, t, omega, out, platform, env_key, config=""):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = platform
-    env[env_key] = str(omega)
-    code = RENDER_SNIPPET.format(repo=REPO, w=w, h=h, t=t, out=out)
+    if env_key == "COMBINED":
+        # A (omega==1.0): exact reference semantics; B: shipped defaults.
+        if omega == 1.0:
+            env.update(EXACT_ENV)
+        else:
+            for k in EXACT_ENV:
+                env.pop(k, None)
+    else:
+        env[env_key] = str(omega)
+    code = RENDER_SNIPPET.format(repo=REPO, w=w, h=h, t=t, out=out,
+                                 config=config)
     subprocess.run([sys.executable, "-c", code], check=True, env=env,
                    timeout=3600)
 
@@ -58,8 +85,14 @@ def main():
     p.add_argument("--t", type=float, default=0.7)
     p.add_argument("--platform", type=str, default="cpu")
     p.add_argument("--env", type=str, default="GPURT_RELAX_REF",
-                   help="relax knob to A/B (GPURT_RELAX_REF or"
-                        " GPURT_RELAX_SHADOW)")
+                   help="relax knob to A/B (GPURT_RELAX_REF /"
+                        " GPURT_RELAX_SHADOW / GPURT_SHADOW_BUDGET /"
+                        " GPURT_MARCH_BUDGET), or COMBINED to compare"
+                        " exact reference semantics (all knobs off)"
+                        " against the shipped defaults")
+    p.add_argument("--config", type=str, default="",
+                   help="bench-suite config name instead of the builtin"
+                        " scene (e.g. sdf_primitives_720p)")
     args = p.parse_args()
 
     import numpy as np
@@ -68,9 +101,9 @@ def main():
         a_path = os.path.join(td, "plain.npy")
         b_path = os.path.join(td, "relaxed.npy")
         render(args.width, args.height, args.t, 1.0, a_path, args.platform,
-               args.env)
+               args.env, args.config)
         render(args.width, args.height, args.t, args.omega, b_path,
-               args.platform, args.env)
+               args.platform, args.env, args.config)
         a = np.load(a_path)
         b = np.load(b_path)
 
@@ -79,6 +112,7 @@ def main():
         "width": args.width,
         "height": args.height,
         "env": args.env,
+        "config": args.config or "builtin",
         "omega": args.omega,
         "pct_within_1e3": round(float((d <= 1e-3).mean() * 100), 3),
         "pct_moved_1e3": round(float((d > 1e-3).mean() * 100), 3),
