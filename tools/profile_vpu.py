@@ -41,15 +41,16 @@ def make_kernel(op: str, iters: int, dtype):
 
         def body(i, v):
             if op == "fma":
-                # 8 dependent-ish fmas (two independent chains of 4)
-                a = v * one + half
-                b = v * half + one
-                a = a * one + half
-                b = b * half + one
-                a = a * one + half
-                b = b * half + one
-                a = a * one + half
-                b = b * half + one
+                # 8 true fmas: both operands vary, so the chain cannot be
+                # constant-folded into one affine map (a*x+b composition).
+                a = v * v + half
+                b = v * a + one
+                a = a * b + half
+                b = b * a + one
+                a = a * b + half
+                b = b * a + one
+                a = a * b + half
+                b = b * a + one
                 return a * half + b * half
             if op == "minmax":
                 a = jnp.maximum(v, half)
@@ -64,8 +65,6 @@ def make_kernel(op: str, iters: int, dtype):
                 return jax.lax.rsqrt(v * v + one)
             if op == "cos":
                 return jnp.cos(v) + half
-            if op == "atan2":
-                return jnp.arctan2(v, one) + one
             raise ValueError(op)
 
         o_ref[:] = jax.lax.fori_loop(0, iters, body, x)
@@ -81,22 +80,23 @@ def slope_time(fn, x, reps):
             return fn(v)
         return jax.lax.fori_loop(0, reps, body, x)
 
-    r = chained(x)
-    jax.block_until_ready(r)
+    # float(sum) forces completion through the remote tunnel —
+    # block_until_ready does not synchronize on the axon plugin (DEVNOTES).
+    def sync(v):
+        return float(jnp.sum(v.astype(jnp.float32)))
+
+    sync(chained(x))
     t0 = time.perf_counter()
-    r = chained(x)
-    jax.block_until_ready(r)
+    sync(chained(x))
     t1 = time.perf_counter()
 
     @jax.jit
     def single(x):
         return fn(x)
 
-    s = single(x)
-    jax.block_until_ready(s)
+    sync(single(x))
     t2 = time.perf_counter()
-    s = single(x)
-    jax.block_until_ready(s)
+    sync(single(x))
     t3 = time.perf_counter()
     return ((t1 - t0) - (t3 - t2)) / (reps - 1)
 
@@ -110,21 +110,29 @@ def main():
     results = {}
     for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         x = jnp.full((ROWS, 256), 1.2345, dtype)
-        for op in ("fma", "minmax", "sqrt", "rsqrt", "cos", "atan2"):
+        for op in ("fma", "minmax", "sqrt", "rsqrt", "cos"):
             kern = make_kernel(op, args.iters, dtype)
             fn = lambda v, k=kern: pl.pallas_call(
                 k, out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype)
             )(v)
-            dt = slope_time(fn, x, args.reps)
+            try:
+                dt = slope_time(fn, x, args.reps)
+            except Exception as e:  # e.g. bf16 cmpf unsupported by target
+                print(f"{op:8s} {name}: UNSUPPORTED "
+                      f"({type(e).__name__}: {str(e).splitlines()[-1][:90]})",
+                      flush=True)
+                continue
             # ns per (lane-iteration): time / (iters * elements)
             per = dt / (args.iters * x.size) * 1e9
             results[f"{op}_{name}"] = per
             print(f"{op:8s} {name}: {dt*1e3:8.3f} ms/call  "
                   f"{per:8.4f} ns/elem-iter", flush=True)
     # Ratio summary
-    for op in ("fma", "minmax", "sqrt", "rsqrt", "cos", "atan2"):
-        f, b = results[f"{op}_f32"], results[f"{op}_bf16"]
-        print(f"{op:8s} bf16/f32 = {b / f:.3f}")
+    for op in ("fma", "minmax", "sqrt", "rsqrt", "cos"):
+        f = results.get(f"{op}_f32")
+        b = results.get(f"{op}_bf16")
+        if f and b:
+            print(f"{op:8s} bf16/f32 = {b / f:.3f}")
 
 
 if __name__ == "__main__":
