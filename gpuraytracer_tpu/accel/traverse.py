@@ -58,7 +58,7 @@ def intersect_plane(origins, directions, plane_origin, plane_size, *, t_min, t_m
     return hit, jnp.where(hit, t, jnp.inf)
 
 
-def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, step_scale, elapsed_time, gate, mesh=None, max_steps=None, occlusion=False):
+def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, step_scale, elapsed_time, gate, mesh=None, max_steps=None, occlusion=False, level=None):
     """Static dispatch to the intersection kernel for one geometry — the
     lax.switch-free SBT analog (each geometry's kernel is known at trace
     time; Raytracing.hlsl:289-341)."""
@@ -127,8 +127,21 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
         relax = sdf.relax_for_code(int(prim_type), occlusion=occlusion)
         if occlusion:
             steps = sdf.cap_occlusion_budget(steps)
+            steps_b = sdf.cap_occlusion_budget(steps, bounce=True)
         else:
             steps = sdf.cap_radiance_budget(steps)
+            steps_b = sdf.cap_radiance_budget(steps, bounce=True)
+        # Per-LEVEL budget (see scene_kernel._traverse_tile): bounce-level
+        # marches cap harder. The budget is comparison-only inside
+        # sphere_trace, so a traced level selects it by value.
+        if level is not None and steps_b < steps:
+            if isinstance(level, int):
+                steps_eff = steps if level == 0 else steps_b
+            else:
+                steps_eff = jnp.where(level == 0, jnp.int32(steps),
+                                      jnp.int32(steps_b))
+        else:
+            steps_eff = steps
         if megakernel.pallas_available() and o_loc.ndim == 3:
             t_max_arr = jnp.broadcast_to(
                 jnp.asarray(t_hi, dtype=o_loc.dtype), o_loc.shape[:-1]
@@ -138,6 +151,9 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
                 t_start_arr = jnp.broadcast_to(
                     jnp.asarray(t_lo, dtype=o_loc.dtype), o_loc.shape[:-1]
                 )
+            # Per-geometry Pallas fallback (scene-kernel-ineligible scenes
+            # only): max_steps is static here, so bounce-level caps do NOT
+            # apply — strictly more accurate than the capped paths.
             return megakernel.sphere_trace_tiles(
                 o_loc, d_loc, gate, t_max_arr, step_scale,
                 prim_code=int(prim_type), cull_backface=cull,
@@ -153,7 +169,7 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             t_max=t_hi,
             cull_backface=cull,
             active=gate,
-            max_steps=steps,
+            max_steps=steps_eff,
             # The retirement bound only holds for envelope-verified codes;
             # extension primitives are AABB-windowed instead (t_hi above).
             escape_bound=int(prim_type) in sdf.ESCAPE_SAFE_CODES,
@@ -210,7 +226,7 @@ def pack_tri_rows(arrays):
     return jnp.concatenate(rows, axis=0), tuple(offsets)
 
 
-def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max, cull_backface, active):
+def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max, cull_backface, active, level=None):
     """TPU path: plane in XLA (closed form), everything procedural in ONE
     Pallas megakernel per pass (kernels/scene_kernel.py)."""
     from gpuraytracer_tpu.kernels import scene_kernel
@@ -240,7 +256,7 @@ def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max
         o_blas, d_blas, active, t0, *params, tri_rows,
         geoms=geoms, clusters=layout.clusters,
         step_budgets=layout.step_budgets, cull_backface=cull_backface,
-        order=layout.traversal_order, tri_offsets=tri_offsets,
+        order=layout.traversal_order, tri_offsets=tri_offsets, level=level,
     )
     hit_proc = gid >= 0
     up = jnp.zeros_like(origins).at[..., 1].set(1.0)
@@ -260,7 +276,7 @@ def _closest_hit_scene_kernel(origins, directions, scene: Scene, *, t_min, t_max
     )
 
 
-def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX, cull_backface=True, active=None) -> HitRecord:
+def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX, cull_backface=True, active=None, level=None) -> HitRecord:
     """Global closest hit over plane + all procedural geometries.
 
     Returns world-space HitRecord; geometry_id indexes the material table
@@ -277,6 +293,7 @@ def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_
         return _closest_hit_scene_kernel(
             origins, directions, scene,
             t_min=t_min, t_max=t_max, cull_backface=cull_backface, active=active,
+            level=level,
         )
 
     best_t = jnp.full(batch, jnp.inf, dtype=f32)
@@ -322,6 +339,7 @@ def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_
             gate=gate,
             mesh=arrays.meshes[prim_type] if kind == IntersectorKind.TRIANGLE else None,
             max_steps=layout.step_budgets[i] if layout.step_budgets else None,
+            level=level,
         )
         hit_i = hit_i & gate
         closer = hit_i & (t_i < best_t)
@@ -339,7 +357,7 @@ def closest_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_
     )
 
 
-def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX, active=None):
+def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX, active=None, level=None):
     """Occlusion query — the shadow-ray TraceRay with
     ACCEPT_FIRST_HIT | FORCE_OPAQUE | SKIP_CLOSEST_HIT flags
     (Raytracing.hlsl:115-147). Back-face culling stays ON (the flag is set
@@ -381,6 +399,7 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
             step_budgets=layout.step_budgets,
             cull_backface=True, accept_first=True,
             order=layout.traversal_order, tri_offsets=tri_offsets,
+            level=level,
         )
         return (hit_p | (gid >= 0)) & active
 
@@ -415,6 +434,7 @@ def any_hit(origins, directions, scene: Scene, *, t_min=RAY_TMIN, t_max=RAY_TMAX
             mesh=arrays.meshes[prim_type] if kind == IntersectorKind.TRIANGLE else None,
             max_steps=layout.step_budgets[i] if layout.step_budgets else None,
             occlusion=True,
+            level=level,
         )
         occluded = occluded | (hit_i & gate)
 

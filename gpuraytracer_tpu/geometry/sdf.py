@@ -495,9 +495,37 @@ def shadow_budget_cap() -> int:
     return v if v > 1 else 0
 
 
-def cap_occlusion_budget(budget: int) -> int:
+def cap_occlusion_budget(budget: int, bounce: bool = False) -> int:
     cap = shadow_budget_cap()
-    return min(int(budget), cap) if cap else int(budget)
+    budget = min(int(budget), cap) if cap else int(budget)
+    if bounce:
+        bcap = bounce_shadow_budget_cap()
+        if bcap:
+            budget = min(budget, bcap)
+    return budget
+
+
+def bounce_shadow_budget_cap() -> int:
+    """Extra step-budget cap for BOUNCE-level occlusion marches
+    (GPURT_SHADOW_BUDGET_B; shadow@1 — shadows of reflected hits,
+    Raytracing.hlsl:117-120 traces shadows at recursion depths 0 and 1
+    only). A shadow@1 error flips the 0.35 shadow factor on a color term
+    already scaled by the parent reflection's throughput (reflectance *
+    Fresnel <= ~0.55 chromium / ~0.25 plane), so it tolerates a cap the
+    primary shadow can't. Accuracy measured per the standard A/B
+    (tools/profile_relax_ref.py --env GPURT_SHADOW_BUDGET_B, builtin
+    320x180) before defaulting — see DEVNOTES round-3 session-8. 0
+    disables (shadow@1 inherits GPURT_SHADOW_BUDGET). Every occlusion
+    path honors it: the sequential and merged Pallas marches, the XLA
+    stand-in, and the deferred repair queue (whose per-level segments
+    derive a tile's level from program_id — _shadow_queue_kernel)."""
+    import os
+
+    try:
+        v = int(float(os.environ.get("GPURT_SHADOW_BUDGET_B", "64")))
+    except ValueError:
+        return 64
+    return v if v > 1 else 0
 
 
 def radiance_budget_cap() -> int:
@@ -520,9 +548,33 @@ def radiance_budget_cap() -> int:
     return v if v > 1 else 0
 
 
-def cap_radiance_budget(budget: int) -> int:
+def cap_radiance_budget(budget: int, bounce: bool = False) -> int:
     cap = radiance_budget_cap()
-    return min(int(budget), cap) if cap else int(budget)
+    budget = min(int(budget), cap) if cap else int(budget)
+    if bounce:
+        bcap = bounce_radiance_budget_cap()
+        if bcap:
+            budget = min(budget, bcap)
+    return budget
+
+
+def bounce_radiance_budget_cap() -> int:
+    """Extra step-budget cap for BOUNCE-level radiance marches
+    (GPURT_MARCH_BUDGET_B; closest-hit at recursion depths >= 1). A
+    capped-out bounce march mis-shades a REFLECTION, so the error lands
+    scaled by the parent hit's throughput (reflectance * Fresnel <= ~0.55
+    chromium / ~0.25 plane; <= the product at depth 2) instead of
+    full-strength like a primary miss. Accuracy measured per the standard
+    A/B (tools/profile_relax_ref.py --env GPURT_MARCH_BUDGET_B, builtin
+    320x180) before defaulting — see DEVNOTES round-3 session-8. 0
+    disables (bounce levels inherit GPURT_MARCH_BUDGET)."""
+    import os
+
+    try:
+        v = int(float(os.environ.get("GPURT_MARCH_BUDGET_B", "128")))
+    except ValueError:
+        return 128
+    return v if v > 1 else 0
 
 
 def sphere_trace(

@@ -58,6 +58,17 @@ CHECKERS_RATIO = 50.0  # SignedDistancePrimitives.hlsli:174 call site
 PROFILE_NO_SHADOWS = False
 
 
+def _unroll_levels() -> bool:
+    """Unroll the level loop (GPURT_UNROLL_LEVELS): trace the level body
+    once per level with a STATIC level index instead of a fori_loop.
+    Statically removes the last level's shadow block and the per-level
+    write dispatch chain, and lets march budgets/relaxation specialize
+    per level (bounce levels' error contribution is scaled by throughput
+    <= reflectance ~0.3, so they tolerate caps the primary level can't).
+    Cost: ~max_depth x the kernel body at Mosaic compile time."""
+    return bool(int(os.environ.get("GPURT_UNROLL_LEVELS", "0") or 0))
+
+
 def _normalize_exact(v: V3) -> V3:
     """Division-form normalize matching core/hlsl.normalize bit-for-bit
     (V3.normalized uses reciprocal-multiply — ~1 ulp off, enough to flip
@@ -256,6 +267,9 @@ def _frame_kernel(
         o = V3(ox, oy, oz)
         d = V3(dx, dy, dz)
         active = active_i != 0
+        # Unrolled form: lvl is a Python int — level-dependent choices
+        # (shadow block, write dispatch, march caps) resolve at trace time.
+        static_lvl = isinstance(lvl, int)
         if dirty_ref is not None:
             # Kill-on-cap: dirty lanes are recomputed end-to-end by the
             # dense pass, so every further level is wasted work for them.
@@ -288,6 +302,7 @@ def _frame_kernel(
                 budget_cap=closest_cap,
                 mb_budget_cap=closest_mb_cap,
                 tri_ref=tri_ref, tri_offsets=tri_offsets, kill_on_cap=True,
+                level=lvl,
             )
 
         # Tile-level activity gate: at bounce levels most tiles are fully
@@ -366,12 +381,22 @@ def _frame_kernel(
                 mb_budget_cap=mb_budget_cap[1] if mb_budget_cap else None,
                 tri_ref=tri_ref, tri_offsets=tri_offsets,
                 kill_on_cap=shadow_kill,
+                # Per-level budgets apply in defer mode too: the in-frame
+                # pass caps at min(shadow_cap, level budget) and the repair
+                # queue (_shadow_queue_kernel) re-runs unknown lanes at the
+                # same per-level budget the plain kernel would use, so
+                # deferred == plain holds at ANY knob setting (test_defer).
+                level=lvl,
             )
 
         # Skipping is exact: when no lane needs the occlusion query, the
         # stale gid_s is masked by shadow_active below (plane-occluded
-        # lanes use hit_p2 directly).
-        pl.when(jnp.any(shadow_gate))(shadow_traversal)
+        # lanes use hit_p2 directly). Unrolled last level: trace_shadow is
+        # statically False — the whole occlusion traversal drops out of
+        # the program (shadow_active is all-False so the masked reads
+        # below are exact without it).
+        if not (static_lvl and trace_shadow is False):
+            pl.when(jnp.any(shadow_gate))(shadow_traversal)
         in_shadow = (hit_p2 | (gid_s[:] >= 0)) & shadow_active
 
         # --- Phong + fake AO (render/shade.phong_lighting) ---------------
@@ -489,14 +514,23 @@ def _frame_kernel(
                         sr[4][:] = sd.y
                         sr[5][:] = sd.z
 
-                pl.when(lvl == lk)(write_level)
+                if static_lvl:
+                    if lvl == lk:
+                        write_level()
+                else:
+                    pl.when(lvl == lk)(write_level)
 
         return (
             hit_pos.x, hit_pos.y, hit_pos.z, d_out.x, d_out.y, d_out.z,
             active_out.astype(jnp.int32), *tw_out, *c_out,
         )
 
-    state = jax.lax.fori_loop(0, max_depth, level_body, state0)
+    if _unroll_levels():
+        state = state0
+        for lvl in range(max_depth):
+            state = level_body(lvl, state)
+    else:
+        state = jax.lax.fori_loop(0, max_depth, level_body, state0)
     if not defer_shadow:
         r_ref[:] = state[11]
         g_ref[:] = state[12]
@@ -953,7 +987,7 @@ def render_frame_compact(
 
 def _shadow_queue_kernel(
     geoms, clusters, step_budgets, order,
-    tri_offsets,
+    tri_offsets, cap_rows,
     # refs:
     b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
     *rest,
@@ -962,7 +996,13 @@ def _shadow_queue_kernel(
     budgets over the compacted shadow-unknown queue (BLAS-space rays).
     This is where deferred capped shadow marches finish — a queue tile is
     sorted by capped-geometry code, so its long marches share one
-    geometry instead of convoying across all of them."""
+    geometry instead of convoying across all of them.
+
+    The queue concatenates one `cap_rows`-row segment per shadowed LEVEL
+    (render_frame_deferred builds them in level order, cap_rows a multiple
+    of the tile height), so a tile's recursion depth is program_id
+    arithmetic — the repair honors the per-level occlusion budget
+    (sdf.bounce_shadow_budget_cap) exactly like the plain kernel."""
     tri_ref = None
     if tri_offsets is not None:
         tri_ref, *rest = rest
@@ -972,6 +1012,8 @@ def _shadow_queue_kernel(
     d = V3(qdx[:], qdy[:], qdz[:])
     active = qact[:] != 0
     t0 = jnp.where(active, RAY_TMAX, 0.0)
+    tr = qox.shape[0]
+    lvl = (pl.program_id(0) * tr) // cap_rows
 
     def traverse():
         scene_kernel._traverse_tile(
@@ -979,7 +1021,7 @@ def _shadow_queue_kernel(
             o, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref,
             mb_ref, thit_s, nx_s, ny_s, nz_s, gid_s, None,
             tuple(march_scratch), order=order,
-            tri_ref=tri_ref, tri_offsets=tri_offsets,
+            tri_ref=tri_ref, tri_offsets=tri_offsets, level=lvl,
         )
 
     pl.when(jnp.any(active))(traverse)
@@ -1176,6 +1218,7 @@ def render_frame_deferred(
         _shadow_queue_kernel, tuple(geoms), clusters, step_budgets,
         tuple(order) if order is not None else None,
         tuple(tri_offsets) if tri_rows is not None else None,
+        cap // tc,
     )
     (occ,) = pl.pallas_call(
         qkernel,

@@ -489,7 +489,8 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
                   the AABB window for extension codes (constant during the
                   merged loop: closed forms ran before, the epilogue
                   writes after); evaluated once at init
-      budget      step budget (int)
+      budget      step budget (int, or traced i32 when the per-level
+                  occlusion cap selects it by value — comparison-only)
       escape      bool — march_escape_t retirement applies (codes in
                   sdf.ESCAPE_SAFE_CODES)
       relax       over-relaxation omega (1.0 = reference stepping)
@@ -1110,11 +1111,14 @@ def _scene_kernel(
     order: Tuple[int, ...] | None,
     phase: str,  # "single" | "main" | "finish" (two-phase dirty-tile scheme)
     tri_offsets: Tuple[Tuple[int, int], ...] | None,
+    has_level: bool,
     # refs — layout depends on phase:
-    #   single: 8 ray planes, 5 SMEM tables [+ tri SMEM], 5 outputs
-    #   main:   8 ray planes, 5 SMEM tables [+ tri], 5 outputs + dirty out
-    #   finish: 8 ray planes, 5 SMEM tables [+ tri], dirty + 5 pass-1
-    #           planes, 5 outs
+    #   single: 8 ray planes, 5 SMEM tables [+ tri SMEM] [+ level SMEM],
+    #           5 outputs
+    #   main:   8 ray planes, 5 SMEM tables [+ tri] [+ level], 5 outputs
+    #           + dirty out
+    #   finish: 8 ray planes, 5 SMEM tables [+ tri] [+ level], dirty + 5
+    #           pass-1 planes, 5 outs
     *refs,
 ):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -1123,6 +1127,9 @@ def _scene_kernel(
     tri_ref = None
     if tri_offsets is not None:
         tri_ref, *rest = rest
+    lvl_ref = None
+    if has_level:
+        lvl_ref, *rest = rest
     # March-state scratch (see _march_sdf) is the trailing 8 refs of every
     # phase layout.
     march_scratch = tuple(rest[-8:])
@@ -1174,6 +1181,7 @@ def _scene_kernel(
         o, d, active, t0_ref[:], b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
         thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
         order=order, tri_ref=tri_ref, tri_offsets=tri_offsets,
+        level=lvl_ref[0, 0] if lvl_ref is not None else None,
     )
 
 
@@ -1228,7 +1236,7 @@ def _traverse_tile(
     o, d, active, t0, b2l_ref, l2b_ref, sscale_ref, aabb_ref, mb_ref,
     thit_ref, nx_ref, ny_ref, nz_ref, gid_ref, dirty_ref, march_scratch,
     order=None, budget_cap=None, mb_budget_cap=None,
-    tri_ref=None, tri_offsets=None, kill_on_cap=False,
+    tri_ref=None, tri_offsets=None, kill_on_cap=False, level=None,
 ):
     # Closest-hit state lives in the OUTPUT refs so each geometry's entire
     # body (local transform + intersector + reduction) can sit under a
@@ -1254,6 +1262,15 @@ def _traverse_tile(
         gate = (
             (tmax_g > tmin_g) & (tmax_g >= 0.0) & (tmin_g <= thit_ref[:]) & active
         )
+        if accept_first:
+            # The zeroed best_t bound (see the accept-first update) rejects
+            # accepted lanes only when the next box is AHEAD (tmin_g > 0).
+            # Occlusion origins sit ON scene surfaces — often inside a
+            # later geometry's AABB (tmin_g < 0), where the bound is
+            # toothless and the accepted lane would march again for
+            # nothing. Excluding accepted lanes is result-exact: the
+            # accept-first update never replaces a found occluder.
+            gate = gate & (gid_ref[:] < 0)
         if dirty_ref is not None and kill_on_cap:
             # Kill-on-cap: a lane with ANY capped march is already doomed
             # to a full dense-pass recompute (render_frame_compact), so
@@ -1335,13 +1352,32 @@ def _traverse_tile(
                                                occlusion=accept_first)
                 if accept_first:
                     budget = sdf_mod.cap_occlusion_budget(budget)
+                    budget_b = sdf_mod.cap_occlusion_budget(budget, bounce=True)
                 else:
                     budget = sdf_mod.cap_radiance_budget(budget)
+                    budget_b = sdf_mod.cap_radiance_budget(budget, bounce=True)
+                # Per-LEVEL budget: bounce-level marches (recursion depth
+                # >= 1) take a harsher cap than the primary level — their
+                # mis-shade is scaled by the parent reflection's
+                # throughput (see sdf.bounce_*_budget_cap). The budget is
+                # comparison-only in the march (steps < max_steps), so a
+                # TRACED level index selects it by VALUE with zero code
+                # growth — the structural per-level specialization the
+                # level-unroll couldn't afford (DEVNOTES: 49.2 ms cliff).
+                if level is not None and budget_b < budget:
+                    if isinstance(level, int):
+                        budget_eff = budget if level == 0 else budget_b
+                    else:
+                        budget_eff = jnp.where(level == 0,
+                                               jnp.int32(budget),
+                                               jnp.int32(budget_b))
+                else:
+                    budget_eff = budget
                 if accept_first and SHADOW_INLINE:
                     hit, t = _march_sdf_inline(
                         distance_fn, o_loc, d_loc, gate, t_hi,
                         sscale_ref[g, 0], cull_backface=cull_g,
-                        max_steps=budget, t_start=t_lo, escape_bound=esc,
+                        max_steps=budget_eff, t_start=t_lo, escape_bound=esc,
                         relax=relax,
                     )
                     capped = hit & False
@@ -1350,10 +1386,11 @@ def _traverse_tile(
                     hit, t, capped = _march_sdf(
                         distance_fn, o_loc, d_loc, gate, t_hi,
                         sscale_ref[g, 0], march_scratch[:8], cull_backface=cull_g,
-                        max_steps=budget, t_start=t_lo, escape_bound=esc,
+                        max_steps=budget_eff, t_start=t_lo, escape_bound=esc,
                         relax=relax, unroll=sh_unroll,
                     )
-                if dirty_ref is not None and budget < step_budgets[g]:
+                min_budget = budget if level is None else min(budget, budget_b)
+                if dirty_ref is not None and min_budget < step_budgets[g]:
                     dirty_ref[:] = dirty_ref[:] | (
                         capped.astype(jnp.int32) << _dirty_bit(g)
                     )
@@ -1590,14 +1627,26 @@ def _traverse_tile(
                 )
                 return jnp.minimum(bound, tmax_w)
 
+            sb = step_budgets[g] if step_budgets else SDF_MAX_STEPS
+            mb = sdf_mod.cap_occlusion_budget(sb)
+            mb_b = sdf_mod.cap_occlusion_budget(sb, bounce=True)
+            # Per-level budget, selected by VALUE exactly like the
+            # sequential marches (the budget is comparison-only in the
+            # march loop), so merged == sequential holds at every level.
+            if level is None or mb_b >= mb:
+                m_budget = mb
+            elif isinstance(level, int):
+                m_budget = mb if level == 0 else mb_b
+            else:
+                m_budget = jnp.where(level == 0, jnp.int32(mb),
+                                     jnp.int32(mb_b))
             parts.append(dict(
                 fn=soa.DISTANCE_FUNCTIONS_SOA[int(code)],
                 ray=ray,
                 gate=gate_m,
                 t_lo=jnp.maximum(tmin_m, 0.0) if windowed else None,
                 t_max=t_max,
-                budget=sdf_mod.cap_occlusion_budget(
-                    step_budgets[g] if step_budgets else SDF_MAX_STEPS),
+                budget=m_budget,
                 escape=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
                 # _march_sdf_multi only ever runs occlusion queries.
                 relax=sdf_mod.relax_for_code(int(code), occlusion=True),
@@ -1696,6 +1745,7 @@ def scene_closest_tiles(
     debug_dirty: bool = False,
     interpret: bool = False,
     tri_offsets: Tuple[Tuple[int, int], ...] | None = None,  # per mesh slot
+    level=None,  # None | int | traced i32 — recursion depth of this pass
 ):
     """Returns (best_t, normal (H,W,3), geom_id (H,W) int32; -1 where no
     procedural hit beat t0). With accept_first (occlusion queries) only
@@ -1775,6 +1825,15 @@ def scene_closest_tiles(
         assert tri_offsets is not None
         smem_args = smem_args + (tri_rows.astype(f32),)
         smem_specs = smem_specs + [smem(tuple(tri_rows.shape))]
+    if level is not None:
+        # Recursion-depth scalar (SMEM): selects the per-LEVEL march
+        # budget inside _traverse_tile (bounce levels cap harder — see
+        # sdf.bounce_*_budget_cap). Appended only when the caller passes
+        # a level so level-less call sites keep their kernel cache keys.
+        smem_args = smem_args + (
+            jnp.asarray(level, jnp.int32).reshape(1, 1),
+        )
+        smem_specs = smem_specs + [smem((1, 1))]
     out5 = [
         jax.ShapeDtypeStruct((hp, wp), f32, **kw),
         jax.ShapeDtypeStruct((hp, wp), f32, **kw),
@@ -1789,6 +1848,7 @@ def scene_closest_tiles(
             cull_backface, accept_first,
             tuple(order) if order is not None else None, phase,
             tuple(tri_offsets) if tri_rows is not None else None,
+            level is not None,
         )
 
     # March-state scratch (t, steps, done, paused, resume, t_hit, plus the

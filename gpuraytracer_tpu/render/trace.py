@@ -124,10 +124,11 @@ def trace_radiance(
     throughput0 = jnp.ones(batch + (4,), dtype=f32) + vzero
     active0 = vzero[..., 0] > -1.0
 
-    def level_body(carry, trace_shadow):
+    def level_body(carry, xs):
+        trace_shadow, level = xs
         o, d, active, throughput, color = carry
         hit = closest_hit(o, d, scene, t_min=RAY_TMIN, t_max=RAY_TMAX,
-                          cull_backface=True, active=active)
+                          cull_backface=True, active=active, level=level)
         hit_pos = o + hit.t[..., None] * d
 
         albedo, refl_coef, diff_coef, spec_coef, spec_pow = _gather_materials(
@@ -144,6 +145,7 @@ def trace_radiance(
             hit_pos, shadow_dir, scene,
             t_min=RAY_TMIN, t_max=RAY_TMAX,
             active=active & hit.hit & trace_shadow,
+            level=level,
         )
         in_shadow = in_shadow & trace_shadow
 
@@ -194,14 +196,16 @@ def trace_radiance(
         d = hlsl.reflect(d, hit.normal)
         return (o, d, active, throughput, color), None
 
-    # Levels differ only in the shadow flag; lax.scan compiles the traversal
-    # ONCE instead of once per level (the depth-3 unroll would triple
-    # compile time for identical code).
+    # Levels differ only in the shadow flag and the traced level index
+    # (which selects the per-level march budget by VALUE — see
+    # sdf.bounce_*_budget_cap); lax.scan compiles the traversal ONCE
+    # instead of once per level (the depth-3 unroll would triple compile
+    # time for identical code).
     shadow_flags = jnp.arange(max_depth) + 1 < max_depth
     (_, _, _, _, color), _ = jax.lax.scan(
         level_body,
         (origins, directions, active0, throughput0, color0),
-        shadow_flags,
+        (shadow_flags, jnp.arange(max_depth, dtype=jnp.int32)),
     )
     return color
 

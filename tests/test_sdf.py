@@ -332,3 +332,30 @@ def test_shadow_budget_cap_knob(monkeypatch):
     monkeypatch.setenv("GPURT_MARCH_BUDGET", "0")
     assert sdf.radiance_budget_cap() == 0
     assert sdf.cap_radiance_budget(512) == 512
+
+
+def test_bounce_budget_cap_knobs(monkeypatch):
+    # BOUNCE-level (recursion depth >= 1) marches take harsher caps: their
+    # error lands scaled by the parent reflection's throughput. Defaults
+    # 64 (occlusion) / 128 (radiance) — measured A/B in the docstrings.
+    for var in ("GPURT_SHADOW_BUDGET", "GPURT_SHADOW_BUDGET_B",
+                "GPURT_MARCH_BUDGET", "GPURT_MARCH_BUDGET_B"):
+        monkeypatch.delenv(var, raising=False)
+    assert sdf.bounce_shadow_budget_cap() == 64
+    assert sdf.cap_occlusion_budget(512, bounce=True) == 64
+    assert sdf.cap_occlusion_budget(32, bounce=True) == 32
+    # bounce=False is unchanged by the B knob.
+    assert sdf.cap_occlusion_budget(512) == 128
+    assert sdf.bounce_radiance_budget_cap() == 128
+    assert sdf.cap_radiance_budget(512, bounce=True) == 128
+    assert sdf.cap_radiance_budget(512) == 256
+    # 0 disables: bounce levels inherit the level-less cap.
+    monkeypatch.setenv("GPURT_SHADOW_BUDGET_B", "0")
+    assert sdf.cap_occlusion_budget(512, bounce=True) == 128
+    monkeypatch.setenv("GPURT_MARCH_BUDGET_B", "0")
+    assert sdf.cap_radiance_budget(512, bounce=True) == 256
+    # Junk falls back to the defaults.
+    monkeypatch.setenv("GPURT_SHADOW_BUDGET_B", "nope")
+    assert sdf.bounce_shadow_budget_cap() == 64
+    monkeypatch.setenv("GPURT_MARCH_BUDGET_B", "nope")
+    assert sdf.bounce_radiance_budget_cap() == 128

@@ -1,9 +1,11 @@
 """Prewarm the persistent compile cache for the round-end driver runs.
 
 Compiles (and once executes) the EXACT programs the driver measures:
-  1. bench.py's chained 8-frame 1080p builtin window (TPU) — a fresh
+  1. bench.py's scanned 64-frame 1080p builtin window (TPU) — a fresh
      Mosaic compile of the fused frame kernels is minutes; a stale cache
-     would make the driver's bench measure compiles, not frames.
+     would make the driver's bench measure compiles, not frames. The
+     chain length is part of the program (lax.scan trip count), so this
+     default MUST track bench.py's.
   2. __graft_entry__.entry()'s 256x144 render (the compile check).
 
 Run this after ANY kernel/shape change, before the round ends:
@@ -31,7 +33,7 @@ def main():
                    help="also prewarm __graft_entry__.entry()")
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--chain", type=int, default=8)
+    p.add_argument("--chain", type=int, default=64)
     args = p.parse_args()
 
     t0 = time.perf_counter()

@@ -48,6 +48,16 @@ def main():
                    help="inline-check marchers for occlusion traversals")
     p.add_argument("--no-shadows", action="store_true",
                    help="skip occlusion traversals (cost attribution)")
+    p.add_argument("--t0", type=float, default=0.0,
+                   help="animation time offset for the chained frames —"
+                        " march/occlusion cost is phase-dependent (the"
+                        " light orbits at -8 s/rev), so single-phase"
+                        " slopes can mislead; probe several t0s")
+    p.add_argument("--depth", type=int, default=0,
+                   help="max recursion depth (0 = reference 3); chained-"
+                        "slope depth knockouts attribute per-level cost"
+                        " (d3-d2 = closest@2+shadow@1, d2-d1 = "
+                        "closest@1+shadow@0)")
     p.add_argument("--tail", type=int, default=0,
                    help="straggler tail unroll (TAIL_UNROLL; 0 = off)")
     p.add_argument("--tail-thresh", type=int, default=0,
@@ -115,8 +125,12 @@ def main():
         def f(a):
             acc = jnp.float32(0.0)
             for i in range(n):
-                ai = builtin.animate_arrays(a, 0.033 * (i + 1))
-                img = trace.render_frame(Scene(layout, ai), W, H)
+                ai = builtin.animate_arrays(a, args.t0 + 0.033 * (i + 1))
+                if args.depth:
+                    img = trace.render_frame(Scene(layout, ai), W, H,
+                                             max_depth=args.depth)
+                else:
+                    img = trace.render_frame(Scene(layout, ai), W, H)
                 acc = acc + jnp.sum(img)
             return acc
         return f
@@ -136,6 +150,7 @@ def main():
     print(json.dumps({
         "width": W, "height": H, "n": args.n,
         "budget": args.budget or "ref", "mb_steps": args.mb_steps or "ref",
+        "depth": args.depth or 3,
         "unroll_sdf": scene_kernel.UNROLL_SDF,
         "unroll_shadow": scene_kernel.UNROLL_SDF_SHADOW,
         "unroll_mb": scene_kernel.UNROLL_MB,

@@ -29,6 +29,10 @@ import os, sys
 sys.path.insert(0, {repo!r})
 import numpy as np
 import jax
+# The env var alone LOSES to this host's sitecustomize (it force-registers
+# the TPU plugin and overrides JAX_PLATFORMS) — re-assert the requested
+# platform through jax.config or "--platform cpu" silently runs on TPU.
+jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
 jax.config.update("jax_compilation_cache_dir", os.path.join({repo!r}, ".jax_cache"))
 from gpuraytracer_tpu.render import trace
 from gpuraytracer_tpu.accel.instances import Scene
@@ -56,6 +60,8 @@ EXACT_ENV = {
     "GPURT_SHADOW_BUDGET": "0",
     "GPURT_MARCH_BUDGET": "0",
     "GPURT_RELAX_REF": "1.0",
+    "GPURT_SHADOW_BUDGET_B": "0",
+    "GPURT_MARCH_BUDGET_B": "0",
 }
 
 
