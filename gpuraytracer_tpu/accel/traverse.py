@@ -117,7 +117,8 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
 
         from gpuraytracer_tpu.core.types import SDF_MAX_STEPS
 
-        steps = SDF_MAX_STEPS if max_steps is None else int(max_steps)
+        natural = SDF_MAX_STEPS if max_steps is None else int(max_steps)
+        steps = natural
         # Extension DE fractals march over-relaxed (Keinert 2014 —
         # sdf.extension_relax); reference codes keep the exact reference
         # step sequence (relax = 1) unless GPURT_RELAX_REF opts in, and
@@ -142,6 +143,18 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
                                       jnp.int32(steps_b))
         else:
             steps_eff = steps
+        # Conservative occlusion on budget exhaustion (closest=>occluded
+        # invariant, tests/test_properties.py): a capped occlusion march
+        # has not proven light visibility, so it reports occluded. Only
+        # reduced budgets trigger it — with the caps off (knobs 0) the
+        # full-budget march keeps the reference's miss-on-exhaustion
+        # semantics exactly (SignedDistancePrimitives.hlsli:291-317).
+        capped_hit = False
+        if occlusion:
+            if isinstance(steps_eff, int):
+                capped_hit = steps_eff < natural
+            else:
+                capped_hit = steps_eff < jnp.int32(natural)
         if megakernel.pallas_available() and o_loc.ndim == 3:
             t_max_arr = jnp.broadcast_to(
                 jnp.asarray(t_hi, dtype=o_loc.dtype), o_loc.shape[:-1]
@@ -158,6 +171,7 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
                 o_loc, d_loc, gate, t_max_arr, step_scale,
                 prim_code=int(prim_type), cull_backface=cull,
                 max_steps=steps, t_start=t_start_arr, relax=relax,
+                capped_hit=bool(occlusion and steps < natural),
             )
         distance_fn = sdf.DISTANCE_FUNCTIONS[int(prim_type)]
         return sdf.sphere_trace(
@@ -174,6 +188,7 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
             # extension primitives are AABB-windowed instead (t_hi above).
             escape_bound=int(prim_type) in sdf.ESCAPE_SAFE_CODES,
             relax=relax,
+            capped_hit=capped_hit,
         )
     raise ValueError(f"no intersector for kind={kind} type={prim_type}")
 

@@ -592,6 +592,7 @@ def sphere_trace(
     unroll: int | None = None,
     escape_bound: bool = True,
     relax: float = 1.0,
+    capped_hit=False,
 ):
     """Wavefront sphere tracer reproducing RaySignedDistancePrimitiveTest.
 
@@ -600,6 +601,16 @@ def sphere_trace(
     distance <= 1e-4 * t; a crossing only terminates the march if the hit is
     valid (in [t_min, t_max] and not back-face culled) — invalid crossings
     keep marching, exactly like the reference's loop (hlsli:295-317).
+
+    capped_hit (bool or traced scalar bool): when truthy, lanes that
+    exhaust a REDUCED step budget without resolving report a hit at
+    their current t — the conservative occlusion semantics that keeps
+    closest=>occluded intact under budget caps (a capped occlusion
+    march has not proven light visibility; the only consumer is the
+    0.35 shadow factor). Callers pass it only for occlusion queries
+    whose effective budget sits BELOW the geometry's natural one, so
+    knob-off runs keep the reference's exact miss-on-exhaustion
+    semantics (SignedDistancePrimitives.hlsli:291-317).
 
     Execution shape (TPU-native): the per-thread while loop becomes an
     early-exiting lax.while_loop over the whole wavefront with a two-phase
@@ -725,9 +736,16 @@ def sphere_trace(
                 moved = adv_resume | advance
                 if relaxed:
                     # Retire on the UNRELAXED reach: no crossing can lie
-                    # within step_scale*dist of the sample, so exceeding
-                    # the window there is sound even mid-overshoot.
-                    done = done | (moved & (t + step_scale * dist > t_escape))
+                    # within step_scale*dist of the sample — sound ONLY
+                    # for lanes whose sphere chain is intact. A lane in a
+                    # failed-overshoot state (disjoint spheres) may have
+                    # skipped a crossing BEHIND the sample; it must
+                    # back-step, not retire (the old unconditional retire
+                    # dropped real occluders at scene-exit grazes —
+                    # tests/test_properties.py closest=>occluded).
+                    done = done | (
+                        moved & ~fail & (t + step_scale * dist > t_escape)
+                    )
                     plain = step_scale * dist
                     fail_step = ((1.0 - relax) * relax) * (step_scale * rprev)
                     stepv = jnp.where(
@@ -750,7 +768,16 @@ def sphere_trace(
                         oon.astype(jnp.int32))
             return t, steps, done, paused, t_hit
 
-        t_hit = jax.lax.while_loop(cond, body, state0)[4]
+        final = jax.lax.while_loop(cond, body, state0)
+        t_hit = final[4]
+
+        if capped_hit is not False:
+            # Conservative occlusion on budget exhaustion (see docstring):
+            # same capped-lane definition as the Pallas marchers
+            # (scene_kernel._march_sdf_part) so every path agrees.
+            capped = active & (final[1] >= max_steps) & ~jnp.isfinite(t_hit)
+            capped = capped & capped_hit
+            t_hit = jnp.where(capped, final[0], t_hit)
 
         hit = jnp.isfinite(t_hit)
         pos_hit = origins + t_hit[..., None] * directions

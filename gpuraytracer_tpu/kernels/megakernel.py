@@ -46,6 +46,7 @@ def _tile_march_kernel(
     unroll: int,
     escape_bound: bool,
     relax: float,
+    capped_hit: bool,
     # refs:
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
@@ -69,11 +70,17 @@ def _tile_march_kernel(
     step_scale = scale_ref[0, 0]
     inf = jnp.float32(jnp.inf)
 
-    _, t_hit, _ = _march_sdf(
+    _, t_hit, capped = _march_sdf(
         distance_fn, o, d, gate, t_max, step_scale, tuple(march_scratch),
         unroll=unroll, max_steps=max_steps, cull_backface=cull_backface,
         t_start=t_start, escape_bound=escape_bound, relax=relax,
     )
+    if capped_hit:
+        # Conservative occlusion on budget exhaustion (see
+        # sdf.sphere_trace): the caller sets this only for occlusion
+        # queries with a reduced budget; the t value is never consumed
+        # (only the hit boolean is), so 0.0 is fine.
+        t_hit = jnp.where(capped, 0.0, t_hit)
 
     hit = t_hit < inf
     safe = V3(
@@ -91,7 +98,7 @@ def _tile_march_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("prim_code", "cull_backface", "max_steps", "unroll",
-                     "relax", "interpret"),
+                     "relax", "interpret", "capped_hit"),
 )
 def sphere_trace_tiles(
     origins,  # (H, W, 3) local-space
@@ -107,6 +114,7 @@ def sphere_trace_tiles(
     t_start=None,  # (H, W) f32 march start (AABB-windowed extensions)
     relax: float = 1.0,
     interpret: bool = False,
+    capped_hit: bool = False,
 ):
     """Per-tile Pallas sphere trace. Returns (hit, t_hit, normal) like
     sdf.sphere_trace. H/W are padded to tile multiples internally."""
@@ -144,6 +152,7 @@ def sphere_trace_tiles(
     kernel = functools.partial(
         _tile_march_kernel, distance_fn, cull_backface, max_steps, unroll,
         int(prim_code) in sdf_mod.ESCAPE_SAFE_CODES, float(relax),
+        bool(capped_hit),
     )
     vma = getattr(jax.typeof(planes[0]), "vma", None)
     kw = {"vma": vma} if vma else {}

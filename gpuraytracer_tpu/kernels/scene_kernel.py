@@ -375,7 +375,12 @@ def _march_sdf_part(distance_fn, o: V3, d: V3, gate, t_max, step_scale, scratch,
             moved = adv_resume | advance
             if relaxed:
                 # Retire on the UNRELAXED reach — sound mid-overshoot.
-                done = done | (moved & (t + step_scale * dist > t_escape))
+                # Escape retire is sound only with an intact sphere chain;
+                # failed-overshoot lanes may have a crossing BEHIND the
+                # sample and must back-step instead (see sdf.sphere_trace).
+                done = done | (
+                    moved & ~fail & (t + step_scale * dist > t_escape)
+                )
                 plain = step_scale * dist
                 fail_step = ((1.0 - relax) * relax) * (step_scale * rprev)
                 stepv = jnp.where(
@@ -563,6 +568,7 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
         relaxed = p["relax"] > 1.0
         relax = p["relax"]
         max_steps = p["budget"]
+        cap_occludes = p.get("cap_occludes", False)
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
         t_max = tmax_ref[:]
@@ -593,6 +599,7 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
         pl.when(jnp.any(paused_ref[:] != 0))(check)
         t = t_ref[:]
         steps = steps_ref[:]
+        occ_acc = izero != 0
         # Cross-geometry kill: another geometry's witness retires this
         # lane's march here (the accept-first end-of-search).
         done = (done_ref[:] | killed_ref[:]) != 0
@@ -609,7 +616,13 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
             dist = distance_fn(pos)
             adv_resume = marching & resume
             fresh = marching & ~resume & (steps < max_steps)
-            done = done | (marching & ~resume & (steps >= max_steps))
+            out_of_steps = marching & ~resume & (steps >= max_steps)
+            done = done | out_of_steps
+            if cap_occludes is not False:
+                # Conservative occlusion on budget exhaustion — a capped
+                # lane registers as a witness exactly like a valid
+                # crossing (see _traverse_tile's occ_flag rule).
+                occ_acc = occ_acc | (out_of_steps & cap_occludes)
             if relaxed:
                 fail = fresh & oon & (dist + rprev < relax * rprev)
                 crossed = (dist <= SDF_HIT_THRESHOLD * t) & ~fail
@@ -620,7 +633,12 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
             steps = steps + jnp.where(fresh, 1, 0)
             moved = adv_resume | advance
             if relaxed:
-                done = done | (moved & (t + step_scale * dist > t_escape))
+                # Escape retire is sound only with an intact sphere chain;
+                # failed-overshoot lanes may have a crossing BEHIND the
+                # sample and must back-step instead (see sdf.sphere_trace).
+                done = done | (
+                    moved & ~fail & (t + step_scale * dist > t_escape)
+                )
                 plain = step_scale * dist
                 fail_step = ((1.0 - relax) * relax) * (step_scale * rprev)
                 stepv = jnp.where(
@@ -640,6 +658,8 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
                 done = done | (moved & (t > t_escape)) | stuck
             paused = paused | newly_paused
             resume = resume & ~adv_resume
+        if cap_occludes is not False:
+            killed_ref[:] = killed_ref[:] | occ_acc.astype(jnp.int32)
         t_ref[:] = t
         steps_ref[:] = steps
         done_ref[:] = done.astype(jnp.int32)
@@ -858,7 +878,10 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
                     fail, fail_step,
                     jnp.where(oon & ~invalid_cross, relax * plain, plain),
                 )
-                done = done | (move & (t + plain > t_escape))
+                # Escape retire excludes failed-overshoot lanes — a
+                # skipped crossing may lie BEHIND the sample; they
+                # back-step instead (see sdf.sphere_trace).
+                done = done | (move & ~fail & (t + plain > t_escape))
                 # Sub-ulp cycle retirement (see _march_sdf_part's
                 # relaxed branch): non-fail advances that leave t
                 # unchanged repeat forever.
@@ -883,8 +906,12 @@ def _march_sdf_inline(distance_fn, o: V3, d: V3, gate, t_max, step_scale,
                     oon.astype(jnp.int32))
         return t, steps, done.astype(jnp.int32), t_hit, t_prev
 
-    t_hit = jax.lax.while_loop(cond, body, state0)[3]
-    return t_hit < inf, t_hit
+    final = jax.lax.while_loop(cond, body, state0)
+    t_hit = final[3]
+    # Budget-exhausted lanes (same definition as _march_sdf_part's capped
+    # output): meaningful when max_steps is a reduced budget.
+    capped = gate & (final[1] >= max_steps) & (t_hit == inf)
+    return t_hit < inf, t_hit, capped
 
 
 def _march_metaballs_inline(o: V3, d: V3, gate, t_max, balls, unroll=8,
@@ -1030,18 +1057,25 @@ def _finish_tile(
                     t_hi = best_t
                 from gpuraytracer_tpu.geometry import sdf as sdf_mod
 
-                hit, t = _march_sdf_inline(
+                repair_budget = (
+                    sdf_mod.cap_occlusion_budget(step_budgets[g])
+                    if accept_first
+                    else sdf_mod.cap_radiance_budget(step_budgets[g])
+                )
+                hit, t, capped = _march_sdf_inline(
                     soa.DISTANCE_FUNCTIONS_SOA[int(code)], o_loc, d_loc, gate,
                     t_hi, sscale_ref[g, 0], cull_backface=cull_g,
-                    max_steps=(sdf_mod.cap_occlusion_budget(step_budgets[g])
-                               if accept_first
-                               else sdf_mod.cap_radiance_budget(
-                                   step_budgets[g])),
+                    max_steps=repair_budget,
                     t_start=t_lo,
                     escape_bound=int(code) in sdf_mod.ESCAPE_SAFE_CODES,
                     relax=sdf_mod.relax_for_code(int(code),
                                                  occlusion=accept_first),
                 )
+                if accept_first and repair_budget < step_budgets[g]:
+                    # Conservative occlusion on budget exhaustion at the
+                    # plain budget (see _traverse_tile's occ_flag rule).
+                    hit = hit | capped
+                    t = jnp.where(capped, 0.0, t)
             else:
                 balls = tuple(
                     (mb_ref[j, 0], mb_ref[j, 1], mb_ref[j, 2], mb_ref[j, 3])
@@ -1374,13 +1408,12 @@ def _traverse_tile(
                 else:
                     budget_eff = budget
                 if accept_first and SHADOW_INLINE:
-                    hit, t = _march_sdf_inline(
+                    hit, t, capped = _march_sdf_inline(
                         distance_fn, o_loc, d_loc, gate, t_hi,
                         sscale_ref[g, 0], cull_backface=cull_g,
                         max_steps=budget_eff, t_start=t_lo, escape_bound=esc,
                         relax=relax,
                     )
-                    capped = hit & False
                 else:
                     sh_unroll = (UNROLL_SDF_SHADOW or None) if accept_first else None
                     hit, t, capped = _march_sdf(
@@ -1389,6 +1422,33 @@ def _traverse_tile(
                         max_steps=budget_eff, t_start=t_lo, escape_bound=esc,
                         relax=relax, unroll=sh_unroll,
                     )
+                if accept_first:
+                    # Conservative occlusion on budget exhaustion
+                    # (closest=>occluded, tests/test_properties.py): a
+                    # capped occlusion march has not proven light
+                    # visibility, so it reports occluded. The rule binds
+                    # ONLY at the plain kernel's final budget — a
+                    # phase/compact-reduced march keeps reporting lit +
+                    # dirty, and its repair pass applies the rule at the
+                    # plain budget, so deferred == plain == repaired at
+                    # any knob setting (test_defer / test_compact). With
+                    # the caps off (plain budget == natural) nothing
+                    # triggers: reference miss-on-exhaustion semantics.
+                    natural = step_budgets[g]
+                    plain0 = sdf_mod.cap_occlusion_budget(natural)
+                    plain_b = sdf_mod.cap_occlusion_budget(plain0, bounce=True)
+                    occ0 = (budget == plain0) and (plain0 < natural)
+                    occb = (budget_b == plain_b) and (plain_b < natural)
+                    if level is None or isinstance(level, int):
+                        occ_flag = occb if (level or 0) > 0 else occ0
+                    elif occ0 == occb:
+                        occ_flag = occ0
+                    else:
+                        occ_flag = jnp.where(level == 0, occ0, occb)
+                    if occ_flag is not False:
+                        occ_now = capped & occ_flag
+                        hit = hit | occ_now
+                        t = jnp.where(occ_now, 0.0, t)
                 min_budget = budget if level is None else min(budget, budget_b)
                 if dirty_ref is not None and min_budget < step_budgets[g]:
                     dirty_ref[:] = dirty_ref[:] | (
@@ -1640,6 +1700,19 @@ def _traverse_tile(
             else:
                 m_budget = jnp.where(level == 0, jnp.int32(mb),
                                      jnp.int32(mb_b))
+            # Conservative occlusion on budget exhaustion — same rule
+            # (and level selection) as the sequential marches, so
+            # merged == sequential stays bit-exact (test_merged_shadow).
+            occ0 = mb < sb
+            occb = mb_b < sb
+            if level is None or mb_b >= mb:
+                m_occ = occ0
+            elif isinstance(level, int):
+                m_occ = occ0 if level == 0 else occb
+            elif occ0 == occb:
+                m_occ = occ0
+            else:
+                m_occ = jnp.where(level == 0, occ0, occb)
             parts.append(dict(
                 fn=soa.DISTANCE_FUNCTIONS_SOA[int(code)],
                 ray=ray,
@@ -1653,6 +1726,7 @@ def _traverse_tile(
                 cull=cull_backface and int(code) < 7,
                 step_scale=(lambda g=g: sscale_ref[g, 0]),
                 scratch=banks[k],
+                cap_occludes=m_occ,
             ))
         occluded = _march_sdf_multi(parts, killed_ref, gid_ref[:] >= 0)
         new_gid = jnp.where(occluded & (gid_ref[:] < 0),
