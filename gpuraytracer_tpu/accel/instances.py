@@ -137,17 +137,44 @@ def ray_to_blas(origins_world, directions_world, blas_offset):
 def ray_to_local(origins_blas, directions_blas, blas_to_local):
     """BLAS -> unit-AABB local space via the per-frame inverse matrix
     (Raytracing.hlsl:277-287). blas_to_local is column-convention (4,4).
-    The ray parameter t is preserved: p_local(t) = M @ p_blas(t)."""
-    rot = blas_to_local[:3, :3]
-    o = origins_blas @ rot.T + blas_to_local[:3, 3]
-    d = directions_blas @ rot.T
+    The ray parameter t is preserved: p_local(t) = M @ p_blas(t).
+
+    Written as EXPLICIT per-row multiply-adds (same association as the
+    Pallas kernels' _local_ray) rather than `v @ rot.T`: a (N,3)@(3,3)
+    dot_general routes to the TPU MXU at DEFAULT (bfloat16) precision,
+    which perturbed every local-space ray by ~1e-3 relative and cascaded
+    through the marches into |t| errors of 0.1-2 on ~all SDF hits — the
+    root cause of the TPU-XLA path's 79.9% parity (tools/parity_bisect.py,
+    VERDICT r3 next #4). Elementwise VPU math is exact f32 on every
+    backend and keeps CPU/TPU associating identically."""
+    m = blas_to_local
+
+    def row(r, v, w=False):
+        out = (m[r, 0] * v[..., 0] + m[r, 1] * v[..., 1]
+               + m[r, 2] * v[..., 2])
+        return out + m[r, 3] if w else out
+
+    o = jnp.stack([row(0, origins_blas, w=True),
+                   row(1, origins_blas, w=True),
+                   row(2, origins_blas, w=True)], axis=-1)
+    d = jnp.stack([row(0, directions_blas), row(1, directions_blas),
+                   row(2, directions_blas)], axis=-1)
     return o, d
 
 
 def normal_to_world(normal_local, local_to_blas):
     """Local -> BLAS -> world normal, exactly as the intersection shaders do
     it (Raytracing.hlsl:298-301): straight matrix transform (NOT inverse
-    transpose — reproduced as-is), identity for BLAS->world, then normalize."""
-    rot = local_to_blas[:3, :3]
-    n = normal_local @ rot.T
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    transpose — reproduced as-is), identity for BLAS->world, then normalize.
+
+    Explicit multiply-adds for the same MXU-precision reason as
+    ray_to_local above."""
+    m = local_to_blas
+
+    def row(r, v):
+        return m[r, 0] * v[..., 0] + m[r, 1] * v[..., 1] + m[r, 2] * v[..., 2]
+
+    n = jnp.stack([row(0, normal_local), row(1, normal_local),
+                   row(2, normal_local)], axis=-1)
+    return n / jnp.sqrt(
+        jnp.sum(n * n, axis=-1, keepdims=True))

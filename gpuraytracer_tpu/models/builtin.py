@@ -272,8 +272,15 @@ def build_instance_transforms(elapsed_time) -> InstanceTransforms:
         center = jnp.asarray(centers[i], dtype=jnp.float32)
         l2b = jnp.zeros((4, 4), dtype=jnp.float32)
         l2b = l2b.at[:3, :3].set(a).at[:3, 3].set(center).at[3, 3].set(1.0)
+        # Explicit matvec: `a_inv @ center` is a dot_general, which the
+        # TPU lowers through the MXU at bfloat16 default precision —
+        # corrupting the b2l translation row (and so every march) by
+        # ~1e-3 relative. Scalar multiply-adds stay exact f32 everywhere
+        # (tools/parity_bisect.py, VERDICT r3 next #4).
+        tcol = -(a_inv[:, 0] * center[0] + a_inv[:, 1] * center[1]
+                 + a_inv[:, 2] * center[2])
         b2l = jnp.zeros((4, 4), dtype=jnp.float32)
-        b2l = b2l.at[:3, :3].set(a_inv).at[:3, 3].set(-(a_inv @ center)).at[3, 3].set(1.0)
+        b2l = b2l.at[:3, :3].set(a_inv).at[:3, 3].set(tcol).at[3, 3].set(1.0)
         l2b_rows.append(l2b)
         b2l_rows.append(b2l)
 
