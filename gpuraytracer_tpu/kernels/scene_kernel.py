@@ -568,7 +568,6 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
         relaxed = p["relax"] > 1.0
         relax = p["relax"]
         max_steps = p["budget"]
-        cap_occludes = p.get("cap_occludes", False)
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
         t_max = tmax_ref[:]
@@ -599,7 +598,6 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
         pl.when(jnp.any(paused_ref[:] != 0))(check)
         t = t_ref[:]
         steps = steps_ref[:]
-        occ_acc = izero != 0
         # Cross-geometry kill: another geometry's witness retires this
         # lane's march here (the accept-first end-of-search).
         done = (done_ref[:] | killed_ref[:]) != 0
@@ -616,13 +614,7 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
             dist = distance_fn(pos)
             adv_resume = marching & resume
             fresh = marching & ~resume & (steps < max_steps)
-            out_of_steps = marching & ~resume & (steps >= max_steps)
-            done = done | out_of_steps
-            if cap_occludes is not False:
-                # Conservative occlusion on budget exhaustion — a capped
-                # lane registers as a witness exactly like a valid
-                # crossing (see _traverse_tile's occ_flag rule).
-                occ_acc = occ_acc | (out_of_steps & cap_occludes)
+            done = done | (marching & ~resume & (steps >= max_steps))
             if relaxed:
                 fail = fresh & oon & (dist + rprev < relax * rprev)
                 crossed = (dist <= SDF_HIT_THRESHOLD * t) & ~fail
@@ -658,8 +650,6 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
                 done = done | (moved & (t > t_escape)) | stuck
             paused = paused | newly_paused
             resume = resume & ~adv_resume
-        if cap_occludes is not False:
-            killed_ref[:] = killed_ref[:] | occ_acc.astype(jnp.int32)
         t_ref[:] = t
         steps_ref[:] = steps
         done_ref[:] = done.astype(jnp.int32)
@@ -688,7 +678,31 @@ def _march_sdf_multi(parts, killed_ref, killed0, unroll=None):
         return alive
 
     jax.lax.while_loop(lambda c: c, body, alive0())
-    return killed_ref[:] != 0
+    occluded = killed_ref[:] != 0
+    # Conservative occlusion on budget exhaustion, POST-loop — the exact
+    # per-part analog of the sequential marcher's capped output
+    # (_march_sdf_part: gate & steps >= budget & no hit), so
+    # merged == sequential stays bit-equal under the capped=>occluded
+    # rule (test_merged_shadow). Evaluating after the joint loop (rather
+    # than accumulating budget-retire events inside it) matters: the
+    # sequential formula also counts lanes whose FINAL step escaped or
+    # went sub-ulp-stuck at exactly the budget boundary, which an
+    # in-loop out-of-steps accumulator misses — 8/9216 builtin pixels
+    # flipped on exactly those lanes (DEVNOTES round-5). steps >= budget
+    # alone suffices (no thit clause — the merged banks track hits in
+    # killed_ref, thit is unwritten): a lane whose final step CROSSED is
+    # occluded via its witness either way, and escape-/stuck-at-budget
+    # lanes match the sequential capped formula exactly.
+    for p in parts:
+        cap = p.get("cap_occludes", False)
+        if cap is False:
+            continue
+        gate = p["gate"] & ~killed0
+        capped = gate & (p["scratch"][1][:] >= p["budget"])
+        if cap is not True:
+            capped = capped & cap
+        occluded = occluded | capped
+    return occluded
 
 
 def _march_metaballs_part(o: V3, d: V3, gate, t_max, balls, scratch, unroll=None,
