@@ -197,6 +197,14 @@ def _dispatch_procedural(kind, prim_type, o_loc, d_loc, *, t_min, t_max, cull, s
 # scene kernel (unrolled SMEM Möller–Trumbore); bigger meshes fall back to
 # the XLA lax.scan path (per-face SMEM unrolling stops paying).
 TRI_FACE_CAP = 64
+# Total SMEM face-table ceiling for the Pallas kernels. Measured on TPU
+# v5e: a (1024, 12) f32 SMEM input (48 KiB) compiles and runs with
+# traced-index reads; (2048, 12) fails Mosaic compilation. 512 leaves
+# headroom for the frame kernel's other SMEM tables (matrices, materials,
+# AABBs). Meshes beyond TRI_FACE_CAP faces stream through the chunked
+# fori_loop path (scene_kernel._intersect_trimesh_tile); scenes beyond
+# this total fall back to the XLA wavefront (intersect_trimesh's scan).
+TRI_FACE_TOTAL_CAP = 512
 
 
 def _total_mesh_faces(scene: Scene) -> int:
@@ -220,7 +228,7 @@ def _scene_kernel_eligible(origins, scene: Scene) -> bool:
         and origins.ndim == 3
         and scene.layout.num_procedural > 0
         and all(k in supported for k in scene.layout.kinds)
-        and _total_mesh_faces(scene) <= TRI_FACE_CAP
+        and _total_mesh_faces(scene) <= TRI_FACE_TOTAL_CAP
     )
 
 
@@ -228,16 +236,31 @@ def pack_tri_rows(arrays):
     """Concatenate every mesh's face SoA into one (F_total, 12) SMEM table
     [v0 | e1 | e2 | n] plus per-mesh-slot (start, count) offsets (static:
     face counts are build-time constants). Returns (None, None) for
-    mesh-free scenes so their kernel signatures stay unchanged."""
+    mesh-free scenes so their kernel signatures stay unchanged.
+
+    Meshes larger than TRI_FACE_CAP are padded to a TRI_STREAM_CHUNK
+    multiple with all-zero (degenerate, det == 0 — unhittable) faces so
+    the streamed kernel path's chunk loop needs no tail handling; small
+    meshes stay unpadded and bit-identical to the original packing."""
     if not arrays.meshes:
         return None, None
+    from gpuraytracer_tpu.kernels.scene_kernel import TRI_STREAM_CHUNK
+
     rows = []
     offsets = []
     start = 0
     for m in arrays.meshes:
-        rows.append(jnp.concatenate([m.v0, m.e1, m.e2, m.n], axis=-1))
-        offsets.append((start, int(m.num_faces)))
-        start += int(m.num_faces)
+        block = jnp.concatenate([m.v0, m.e1, m.e2, m.n], axis=-1)
+        count = int(m.num_faces)
+        if count > TRI_FACE_CAP and count % TRI_STREAM_CHUNK:
+            pad = TRI_STREAM_CHUNK - count % TRI_STREAM_CHUNK
+            block = jnp.concatenate(
+                [block, jnp.zeros((pad, block.shape[-1]), block.dtype)],
+                axis=0)
+            count += pad
+        rows.append(block)
+        offsets.append((start, count))
+        start += count
     return jnp.concatenate(rows, axis=0), tuple(offsets)
 
 

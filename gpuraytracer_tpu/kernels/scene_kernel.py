@@ -1233,49 +1233,89 @@ def _scene_kernel(
     )
 
 
+# Chunk width of the STREAMED (count > TRI_FACE_CAP) mesh path: each
+# fori_loop iteration unrolls this many faces with a traced SMEM base
+# index, so Mosaic code size stays one-chunk-sized regardless of count.
+TRI_STREAM_CHUNK = 64
+
+
+def _mt_face(o: V3, d: V3, t_max, tri_ref, f, cull_backface, state):
+    """One Möller–Trumbore face test + closest reduction step. `f` may be
+    a static int (unrolled small-mesh path) or a traced scalar (streamed
+    path) — SMEM scalar reads accept both; the float math is identical, so
+    the two paths agree bit-for-bit on the same face set."""
+    best_t, nx, ny, nz = state
+    zero = o.x * 0.0
+    v0x, v0y, v0z = tri_ref[f, 0], tri_ref[f, 1], tri_ref[f, 2]
+    e1x, e1y, e1z = tri_ref[f, 3], tri_ref[f, 4], tri_ref[f, 5]
+    e2x, e2y, e2z = tri_ref[f, 6], tri_ref[f, 7], tri_ref[f, 8]
+    # pv = d x e2
+    pvx = d.y * e2z - d.z * e2y
+    pvy = d.z * e2x - d.x * e2z
+    pvz = d.x * e2y - d.y * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    # det > 0 is the DXR back-face cull branch (trimesh._mt_face).
+    det_ok = (det > 1e-12) if cull_backface else (jnp.abs(det) > 1e-12)
+    inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    # qv = tv x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (d.x * qvx + d.y * qvy + d.z * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    hit = (
+        det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= 0.0) & (t <= t_max)
+    )
+    closer = hit & (t < best_t)
+    best_t = jnp.where(closer, t, best_t)
+    nx = jnp.where(closer, zero + tri_ref[f, 9], nx)
+    ny = jnp.where(closer, zero + tri_ref[f, 10], ny)
+    nz = jnp.where(closer, zero + tri_ref[f, 11], nz)
+    return best_t, nx, ny, nz
+
+
 def _intersect_trimesh_tile(o: V3, d: V3, t_max, tri_ref, start, count,
                             cull_backface):
-    """Unrolled Möller–Trumbore over `count` SMEM face rows (v0, e1, e2, n
-    — geometry/trimesh.py layout) for one tile. The triangle-BLAS analog
-    for small meshes (the reference's ground quad is 2 faces,
-    Renderer.cpp:575-592; closest-hit Raytracing.hlsl:171-218): faces ride
-    SMEM scalars, intersection is branchless dense vector math, the flat
-    shading normal comes from the winning face's SMEM row."""
+    """Möller–Trumbore over `count` SMEM face rows (v0, e1, e2, n —
+    geometry/trimesh.py layout) for one tile. The triangle-BLAS analog
+    (the reference takes arbitrary meshes, Renderer.cpp:575-592;
+    closest-hit Raytracing.hlsl:171-218): faces ride SMEM scalars,
+    intersection is branchless dense vector math, the flat shading normal
+    comes from the winning face's SMEM row.
+
+    Small meshes (count <= TRI_FACE_CAP) unroll every face statically —
+    bit-compatible with the original path. Larger meshes STREAM: a
+    fori_loop walks TRI_STREAM_CHUNK-face chunks with a traced SMEM base
+    index (pack_tri_rows pads each big mesh to a chunk multiple with
+    degenerate all-zero faces, whose det == 0 can never hit), so code
+    size — the Mosaic binding constraint (DEVNOTES round-3) — stays
+    constant in the face count. Measured SMEM ceiling: a (1024, 12) f32
+    table compiles and runs; 2048 rows fails Mosaic, hence
+    traverse.TRI_FACE_TOTAL_CAP."""
+    from gpuraytracer_tpu.accel.traverse import TRI_FACE_CAP
+
     inf = jnp.float32(jnp.inf)
     zero = o.x * 0.0
-    best_t = zero + inf
-    nx = zero
-    ny = zero
-    nz = zero
-    for f in range(start, start + count):
-        v0x, v0y, v0z = tri_ref[f, 0], tri_ref[f, 1], tri_ref[f, 2]
-        e1x, e1y, e1z = tri_ref[f, 3], tri_ref[f, 4], tri_ref[f, 5]
-        e2x, e2y, e2z = tri_ref[f, 6], tri_ref[f, 7], tri_ref[f, 8]
-        # pv = d x e2
-        pvx = d.y * e2z - d.z * e2y
-        pvy = d.z * e2x - d.x * e2z
-        pvz = d.x * e2y - d.y * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        # det > 0 is the DXR back-face cull branch (trimesh._mt_face).
-        det_ok = (det > 1e-12) if cull_backface else (jnp.abs(det) > 1e-12)
-        inv = 1.0 / jnp.where(det_ok, det, 1.0)
-        tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-        # qv = tv x e1
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (d.x * qvx + d.y * qvy + d.z * qvz) * inv
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-        hit = (
-            det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= 0.0) & (t <= t_max)
-        )
-        closer = hit & (t < best_t)
-        best_t = jnp.where(closer, t, best_t)
-        nx = jnp.where(closer, zero + tri_ref[f, 9], nx)
-        ny = jnp.where(closer, zero + tri_ref[f, 10], ny)
-        nz = jnp.where(closer, zero + tri_ref[f, 11], nz)
+    state = (zero + inf, zero, zero, zero)
+    if count <= TRI_FACE_CAP:
+        for f in range(start, start + count):
+            state = _mt_face(o, d, t_max, tri_ref, f, cull_backface, state)
+    else:
+        assert count % TRI_STREAM_CHUNK == 0, (
+            "pack_tri_rows pads streamed meshes to a chunk multiple")
+
+        def chunk(c, state):
+            base = start + c * TRI_STREAM_CHUNK
+            for f0 in range(TRI_STREAM_CHUNK):
+                state = _mt_face(o, d, t_max, tri_ref, base + f0,
+                                 cull_backface, state)
+            return state
+
+        state = jax.lax.fori_loop(0, count // TRI_STREAM_CHUNK, chunk, state)
+    best_t, nx, ny, nz = state
     return best_t < inf, best_t, V3(nx, ny, nz)
 
 
