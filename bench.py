@@ -66,17 +66,23 @@ def run_bench(width: int = 1920, height: int = 1080, frames: int = 64, warmup: i
         # back, and its fps window is a full second (Renderer.cpp:374-399)
         # — at ~35 fps that is ~35 frames per measurement, the scale this
         # chain matches.
-        def frame(acc, t):
+        def frame(carry, t):
+            acc, _ = carry
             arrays_i = builtin.animate_arrays(arrays, t)
             img = trace.render_frame(Scene(layout, arrays_i), width, height)
-            # Scalar checksum forces the device computation to complete
-            # before the host timestamp (block_until_ready alone does not
-            # synchronize on remote-plugin backends) while transferring
-            # only 4 bytes — the DispatchRays GPU-timer bracket analog.
-            return acc + jnp.sum(img), None
+            # The frame rides the scan carry: every iteration MATERIALIZES
+            # its full framebuffer into the carried HBM buffer — the
+            # reference's per-frame UAV write + backbuffer copy analog
+            # (Renderer.cpp:454-476); XLA cannot reduce the image away
+            # into the checksum. The scalar checksum still forces device
+            # completion before the host timestamp (block_until_ready
+            # alone does not synchronize on remote-plugin backends) while
+            # transferring only 4 bytes — the GPU-timer bracket analog.
+            return (acc + jnp.sum(img), img), None
 
         ts = t_start + 0.0333 * jnp.arange(chain, dtype=jnp.float32)
-        acc, _ = jax.lax.scan(frame, jnp.float32(0.0), ts)
+        fb0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
+        (acc, _last), _ = jax.lax.scan(frame, (jnp.float32(0.0), fb0), ts)
         return acc
 
     arrays0 = scene0.arrays
