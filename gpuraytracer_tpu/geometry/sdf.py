@@ -472,24 +472,30 @@ def shadow_budget_cap() -> int:
     """Step-budget cap for OCCLUSION marches (GPURT_SHADOW_BUDGET).
 
     A shadow march that exhausts its budget without a crossing reports
-    "unoccluded" — exactly what an under-budget radiance march would
-    mis-shade, except the only consumer is one boolean, so the error
-    surface is rays whose occluder needs > cap relaxed steps to reach
-    (grazing silhouettes). Measured sweep on the builtin scene (CPU
-    accuracy at 320x180, tools/profile_relax_ref.py; TPU 1080p device
-    slope under relax 1.6): cap 192 -> 0.042% of pixels move > 1e-3 /
-    28.1 ms; cap 128 -> 0.125% / 27.4 ms; cap 64 -> 0.578% / 25.1 ms;
-    uncapped 31.9 ms. Default 128 — well inside the 0.5% acceptance
-    standard that set the extension-fractal radiance budget (DEVNOTES).
-    0 disables (occlusion marches inherit the geometry's full budget).
-    Read at trace time like the relax knobs; applied identically in the
-    Pallas kernels and the XLA stand-in."""
+    "OCCLUDED" — conservative: a capped march has not proven light
+    visibility, and capped lanes crawl along near-occluders the
+    reference's full 512-step march almost always confirms
+    (closest=>occluded invariant, tests/test_properties.py; with the
+    caps off the full-budget march keeps the reference's exact
+    miss-on-exhaustion semantics). Under that round-5 semantics the
+    accuracy curve improved ~4x vs the old capped=>lit form — measured
+    sweep on the builtin scene (CPU accuracy at 320x180,
+    tools/profile_relax_ref.py, vs the uncapped reference semantics):
+    cap 128 -> 0.031% of pixels move > 1e-3; 96 -> 0.064%; 64 -> 0.247%;
+    48 -> 1.34%. Default 96 — combined with every other default the
+    distance from the exact-semantics anchor is 0.46% (DEVNOTES round-5
+    session-2/3), inside the 0.5% acceptance standard; 64 measured
+    faster (23.58 vs 24.12 ms 1080p) but pushes the combined distance to
+    0.65-0.79% and was rejected. 0 disables (occlusion marches inherit
+    the geometry's full budget). Read at trace time like the relax
+    knobs; applied identically in the Pallas kernels and the XLA
+    stand-in."""
     import os
 
     try:
-        v = int(float(os.environ.get("GPURT_SHADOW_BUDGET", "128")))
+        v = int(float(os.environ.get("GPURT_SHADOW_BUDGET", "96")))
     except ValueError:
-        return 128
+        return 96
     # <= 1 disables (1 is a meaningless march; it also lets the accuracy
     # A/B tool's omega=1.0 baseline mean "off" for this knob too).
     return v if v > 1 else 0
@@ -533,18 +539,20 @@ def radiance_budget_cap() -> int:
     (GPURT_MARCH_BUDGET). Unlike the occlusion cap, a capped-out radiance
     march mis-shades the pixel outright (background/plane showthrough at
     silhouettes) — but the measured tail is tiny: on the builtin scene
-    (CPU accuracy at 320x180, tools/profile_relax_ref.py) cap 256 moves
-    0.003% of pixels > 1e-3 (TWO pixels; max abs 0.38) for 27.4 ->
-    26.1 ms 1080p device. Rays still marching past 256 steps are
-    crawling along grazing silhouettes; almost all end as misses anyway.
-    Default 256; 0 disables (full reference 512-step budget). Per-scene
+    (CPU accuracy at 320x180, tools/profile_relax_ref.py, vs the
+    uncapped reference semantics) cap 256 moves 0.003% of pixels > 1e-3,
+    192 -> 0.002%, 160 -> 0.023%, 128 -> 0.113%. Rays still marching
+    past ~160 steps are crawling along grazing silhouettes; almost all
+    end as misses anyway. Default 160 (round-5: combined-with-all-
+    defaults distance from the exact anchor 0.46%, inside the 0.5%
+    standard); 0 disables (full reference 512-step budget). Per-scene
     budgets below the cap are unaffected."""
     import os
 
     try:
-        v = int(float(os.environ.get("GPURT_MARCH_BUDGET", "256")))
+        v = int(float(os.environ.get("GPURT_MARCH_BUDGET", "160")))
     except ValueError:
-        return 256
+        return 160
     return v if v > 1 else 0
 
 

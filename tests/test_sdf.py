@@ -307,12 +307,13 @@ def test_occlusion_relax_knob(monkeypatch):
 
 
 def test_shadow_budget_cap_knob(monkeypatch):
-    # Occlusion marches cap at 128 steps by default (measured sweep in
-    # the docstring); GPURT_SHADOW_BUDGET=0 restores the full budget.
+    # Occlusion marches cap at 96 steps by default (round-5 sweep under
+    # the capped=>occluded semantics — measured table in the docstring);
+    # GPURT_SHADOW_BUDGET=0 restores the full budget.
     monkeypatch.delenv("GPURT_SHADOW_BUDGET", raising=False)
-    assert sdf.shadow_budget_cap() == 128
-    assert sdf.cap_occlusion_budget(512) == 128
-    assert sdf.cap_occlusion_budget(96) == 96
+    assert sdf.shadow_budget_cap() == 96
+    assert sdf.cap_occlusion_budget(512) == 96
+    assert sdf.cap_occlusion_budget(64) == 64
     monkeypatch.setenv("GPURT_SHADOW_BUDGET", "256")
     assert sdf.cap_occlusion_budget(512) == 256
     # <= 1 disables the cap; junk falls back to the default.
@@ -322,12 +323,12 @@ def test_shadow_budget_cap_knob(monkeypatch):
     monkeypatch.setenv("GPURT_SHADOW_BUDGET", "1.0")
     assert sdf.shadow_budget_cap() == 0
     monkeypatch.setenv("GPURT_SHADOW_BUDGET", "nope")
-    assert sdf.shadow_budget_cap() == 128
-    # Radiance marches cap at 256 by default (0.003% of pixels move —
-    # measured sweep in the docstring); 0 restores the reference 512.
+    assert sdf.shadow_budget_cap() == 96
+    # Radiance marches cap at 160 by default (0.023% of pixels move —
+    # round-5 sweep in the docstring); 0 restores the reference 512.
     monkeypatch.delenv("GPURT_MARCH_BUDGET", raising=False)
-    assert sdf.radiance_budget_cap() == 256
-    assert sdf.cap_radiance_budget(512) == 256
+    assert sdf.radiance_budget_cap() == 160
+    assert sdf.cap_radiance_budget(512) == 160
     assert sdf.cap_radiance_budget(128) == 128
     monkeypatch.setenv("GPURT_MARCH_BUDGET", "0")
     assert sdf.radiance_budget_cap() == 0
@@ -345,15 +346,15 @@ def test_bounce_budget_cap_knobs(monkeypatch):
     assert sdf.cap_occlusion_budget(512, bounce=True) == 64
     assert sdf.cap_occlusion_budget(32, bounce=True) == 32
     # bounce=False is unchanged by the B knob.
-    assert sdf.cap_occlusion_budget(512) == 128
+    assert sdf.cap_occlusion_budget(512) == 96
     assert sdf.bounce_radiance_budget_cap() == 128
     assert sdf.cap_radiance_budget(512, bounce=True) == 128
-    assert sdf.cap_radiance_budget(512) == 256
+    assert sdf.cap_radiance_budget(512) == 160
     # 0 disables: bounce levels inherit the level-less cap.
     monkeypatch.setenv("GPURT_SHADOW_BUDGET_B", "0")
-    assert sdf.cap_occlusion_budget(512, bounce=True) == 128
+    assert sdf.cap_occlusion_budget(512, bounce=True) == 96
     monkeypatch.setenv("GPURT_MARCH_BUDGET_B", "0")
-    assert sdf.cap_radiance_budget(512, bounce=True) == 256
+    assert sdf.cap_radiance_budget(512, bounce=True) == 160
     # Junk falls back to the defaults.
     monkeypatch.setenv("GPURT_SHADOW_BUDGET_B", "nope")
     assert sdf.bounce_shadow_budget_cap() == 64
