@@ -8,7 +8,10 @@ remote-TPU environment:
 - WALL throughput: windows of `--wall-chain` chained animated frames,
   dispatched in flight (the headline bench.py methodology; the
   reference's triple-buffered fence pacing amortizes Present latency the
-  same way — DeviceResources.cpp:770-792). Median over `--reps` reps.
+  same way — DeviceResources.cpp:770-792, and its published fps window
+  is a full second of frames, Renderer.cpp:374-399 — ~40-60 frames at
+  these rates, the scale the default 64 matches). Median over `--reps`
+  reps.
   The single-dispatch-per-frame wall (which on this dev setup measures
   the ~24 ms tunnel RTT for small configs) is kept as
   `frame_ms_1dispatch`.
@@ -61,7 +64,7 @@ def _setup_cache():
 
 def bench_config(cfg, frames: int = 4, warmup: int = 1, scale: float = 1.0,
                  reps: int = 3, chain: int = 3, device_time: bool = True,
-                 wall_chain: int = 8):
+                 wall_chain: int = 64):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -193,7 +196,7 @@ def main(argv=None) -> int:
                    help="timed windows per metric (median reported)")
     p.add_argument("--chain", type=int, default=3,
                    help="frames per chained program for device-time slope")
-    p.add_argument("--wall-chain", type=int, default=8,
+    p.add_argument("--wall-chain", type=int, default=64,
                    help="animated frames per wall dispatch window"
                         " (bench.py headline methodology; 1 = every frame"
                         " its own dispatch)")

@@ -44,20 +44,22 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 PCT_BAR = 89.0
-INTERIOR_BAR = 95.0
+INTERIOR_BAR = 95.5
 
-# The pure-XLA TPU path (meshes/no-plane/large-table scenes) diverges
-# further from the CPU reference than the Pallas path (TPU-XLA fuses the
-# whole wavefront program differently; measured 79.9%/91.9% in
-# PARITY_r02.json). Pinned so the fallback path cannot drift silently —
-# ADVICE round-2 item 1.
-XLA_PCT_BAR = 78.0
-XLA_INTERIOR_BAR = 90.0
+# Round 5 closed the pure-XLA TPU path's gap: its ray transforms were
+# dot_generals riding the MXU at default bfloat16 precision, perturbing
+# every local-space ray ~1e-3 relative before its march (see
+# accel/instances.ray_to_local and tools/parity_bisect.py). With
+# explicit f32 row math the XLA path measures 91.1%/97.2%/96.9%
+# (PARITY_r05.json) — at the Pallas path's level — and the bars ratchet
+# from the old 78/90/86 fence to achieved-minus-margin.
+XLA_PCT_BAR = 89.0
+XLA_INTERIOR_BAR = 95.5
 
 # Accuracy over measured-NON-chaotic pixels (see module docstring);
-# achieved 96.97 / 88.73 in PARITY_r03.json.
-STABLE_BAR = 95.0
-XLA_STABLE_BAR = 86.0
+# achieved 96.97 / 96.94 in PARITY_r05.json.
+STABLE_BAR = 95.5
+XLA_STABLE_BAR = 95.5
 
 
 def _latest_parity_artifact():

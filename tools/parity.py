@@ -54,9 +54,16 @@ from gpuraytracer_tpu.render import trace
 scene = builtin.build_scene(aspect={width}/{height}, elapsed_time={T_ANIM})
 arrays = scene.arrays
 if {cam_eps!r}:
+    cp = np.asarray(arrays.constants.camera_position)
+    eps = np.zeros_like(cp)
+    e = np.atleast_1d(np.asarray({cam_eps!r}, dtype=cp.dtype))
+    if e.size > 1:
+        eps[:3] += e
+    else:
+        eps += e[0]
     c = dataclasses.replace(
         arrays.constants,
-        camera_position=arrays.constants.camera_position + {cam_eps},
+        camera_position=arrays.constants.camera_position + eps,
     )
     arrays = dataclasses.replace(arrays, constants=c)
 img = np.asarray(trace.render_frame(
@@ -144,11 +151,22 @@ def main():
         print(f"rendering CPU reference {W}x{H} ...", flush=True)
         _render_cpu_subprocess(W, H, ref_path)
     ref = np.load(ref_path)
-    eps_path = os.path.join(REPO, "out", f"parity_cpu_eps_{W}x{H}.npy")
-    if not os.path.exists(eps_path):
-        print(f"rendering perturbed CPU reference {W}x{H} ...", flush=True)
-        _render_cpu_subprocess(W, H, eps_path, cam_eps=1e-6)
-    sens = sensitivity_mask(ref, np.load(eps_path))
+    # MULTI-directional chaos probe (VERDICT r3 next #4: the single
+    # +eps probe under-detects — a pixel can be stable along one
+    # direction yet knife-edge along another). The mask is the UNION of
+    # hypersensitive sets over three ulp-scale camera perturbations;
+    # each probe is one extra cached CPU render.
+    probes = [1e-6, -1e-6, (1e-6, -1e-6, 1e-6)]
+    sens = None
+    for i, eps in enumerate(probes):
+        eps_path = os.path.join(REPO, "out",
+                                f"parity_cpu_eps{i}_{W}x{H}.npy")
+        if not os.path.exists(eps_path):
+            print(f"rendering perturbed CPU reference {i} {W}x{H} ...",
+                  flush=True)
+            _render_cpu_subprocess(W, H, eps_path, cam_eps=eps)
+        m = sensitivity_mask(ref, np.load(eps_path))
+        sens = m if sens is None else (sens | m)
 
     import jax
 
